@@ -1,0 +1,135 @@
+"""Calendar spine + gap materialization + gap-fill (ffill / interpolation).
+
+The reference materializes gaps as NaN rows by regularizing the index —
+``df.asfreq(freq)`` for datetime, ``np.arange`` reindex for integer timelines
+(/root/reference/etna/datasets/tsdataset.py:333-357). Every downstream
+operator then sees an equi-spaced grid. Our Spark equivalent: generate the
+dense bucket sequence with ``F.sequence`` + ``explode`` — one spine per
+series over the GLOBAL [min, max] (the reference's wide frame shares a single
+index across segments), left-join the tier aggregates onto it, and fill.
+
+Scale notes:
+- the spine is built from a 1-row global agg cross-joined with the distinct
+  series list — both tiny, both broadcast; no driver collect.
+- the spine join is (series, bucket_ts) equi-join against the tier table,
+  which is already shuffled on those keys from the rollup — Catalyst/AQE
+  reuses the partitioning or broadcasts the spine when small.
+- ffill/interpolation are single window passes per series (no shuffle beyond
+  the partitionBy(series) the tier table already has).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etna_spark.operators.rollup import TIERS
+
+
+def calendar_spine(
+    tier_df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str] = ("source",),
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Dense (series..., bucket_ts) grid over the global [min, max] range."""
+    step_seconds, _ = TIERS[tier]
+    bounds = tier_df.agg(
+        F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
+    )
+    series = tier_df.select(*series_cols).distinct()
+    spine = series.crossJoin(F.broadcast(bounds)).select(
+        *series_cols,
+        F.explode(
+            F.sequence(
+                F.col("_min_ts"),
+                F.col("_max_ts"),
+                F.expr(f"interval {step_seconds} seconds"),
+            )
+        ).alias(ts_col),
+    )
+    return spine
+
+
+def regularize(
+    tier_df: DataFrame,
+    tier: str,
+    series_cols: Sequence[str] = ("source",),
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Left-join tier rows onto the dense spine; missing buckets become null
+    rows — the Spark twin of ETNA's ``asfreq`` gap materialization."""
+    spine = calendar_spine(tier_df, tier, series_cols, ts_col)
+    return spine.join(tier_df, on=[*series_cols, ts_col], how="left")
+
+
+def ffill(
+    df: DataFrame,
+    cols: Sequence[str],
+    series_cols: Sequence[str] = ("source",),
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Forward-fill: last non-null per series in time order.
+
+    Reference semantics: ``forward_fill`` imputation strategy
+    (/root/reference/etna/transforms/missing_values/imputation.py:229-230) —
+    an implicit as-of join against the last observation; leading nulls stay.
+    """
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    cols: Sequence[str],
+    series_cols: Sequence[str] = ("source",),
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Linear interpolation over the time axis, pandas-compatible.
+
+    Matches ``pd.Series.interpolate(method="linear")`` on a regular grid
+    (SURVEY.md §2.9): interior gaps are linearly interpolated between the
+    surrounding observations, trailing gaps are forward-filled, leading gaps
+    stay null. Pure SQL windows — no pUDF.
+    """
+    # Both lookups use RUNNING frames (unboundedPreceding..current): Spark's
+    # WindowExec accumulates those in O(n), whereas a (current..
+    # unboundedFollowing) frame is recomputed per row — O(n²) per partition,
+    # catastrophic on long spines. "Next non-null" is therefore a running
+    # F.last over the DESCENDING time order.
+    wb = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*series_cols)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ts_num = F.col(ts_col).cast("double")
+    out = df
+    for c in cols:
+        prev_v = F.last(c, ignorenulls=True).over(wb)
+        next_v = F.last(c, ignorenulls=True).over(wf)
+        prev_t = F.last(F.when(F.col(c).isNotNull(), ts_num), ignorenulls=True).over(wb)
+        next_t = F.last(F.when(F.col(c).isNotNull(), ts_num), ignorenulls=True).over(wf)
+        frac = (ts_num - prev_t) / (next_t - prev_t)
+        interp = prev_v + (next_v - prev_v) * frac
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(prev_v.isNull(), F.lit(None))  # leading gap: stays null
+            .when(next_v.isNull(), prev_v)  # trailing gap: ffill
+            .otherwise(interp),
+        )
+    return out

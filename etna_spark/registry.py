@@ -1,0 +1,311 @@
+"""Query registry: the driver-facing inventory of implemented operators.
+
+Each entry pairs a Spark DataFrame implementation with (where expressible)
+an ANSI-SQL twin that DuckDB runs on the same parquet tables. The driver
+compares row-count + schema + order-insensitive value-hash per query
+(CORRECTNESS_r{N}.json) — this registry IS the correctness gate, so:
+
+- bucket timestamps are emitted as epoch-second BIGINTs (no cross-engine
+  timestamp formatting ambiguity);
+- measures are integer-exact where possible (token sums; event ``value``
+  as cents), so partial-aggregation order cannot perturb them;
+- unavoidable float outputs are ``round(x, 6)`` in BOTH engines (Spark
+  HALF_UP == DuckDB half-away-from-zero for all signs).
+
+Kept separate from ``__spark_entry__`` so engine code has a single place
+that maps SURVEY.md §2 rows to runnable queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etna_spark.operators.rollup import TIERS, rollup, rollup_cascade, rollup_salted
+from etna_spark.operators.spine import ffill, interpolate_linear, regularize
+from etna_spark.sources.testdata import load_table
+from etna_spark.synth import DOC_TOKEN_SQL, doc_token_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Entry:
+    spark: SparkQuery
+    sql: str | None  # None → driver records rows-only check
+
+
+REGISTRY: dict[str, Entry] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = Entry(spark=fn, sql=sql)
+        return fn
+
+    return deco
+
+
+def epoch(col: str = "bucket_ts") -> F.Column:
+    return F.col(col).cast("long").alias(col)
+
+
+# ---------------------------------------------------------------------------
+# Token-table queries (SURVEY.md §1.3, §7.1; FIXTURES.md §A).
+# Input: token table derived arithmetically from `documents` so the DuckDB
+# oracle can reproduce it exactly (synth.DOC_TOKEN_SQL).
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = f"WITH tok AS ({DOC_TOKEN_SQL})"
+
+_TOK_ROLLUP_SQL = _TOK_CTE + """
+SELECT source,
+       CAST(epoch(date_trunc('{unit}', event_ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS seq_count,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       min(n_tok) AS tok_min,
+       max(n_tok) AS tok_max
+FROM tok
+GROUP BY 1, 2
+"""
+
+
+def _tok_rollup(spark: SparkSession, sf_dir: str, tier: str) -> DataFrame:
+    tt = doc_token_table(spark, sf_dir)
+    r = rollup(tt, tier, series_cols=("source",), ts_col="event_ts", value_col="n_tok")
+    return r.select(
+        "source",
+        epoch(),
+        F.col("point_count").alias("seq_count"),
+        F.col("value_sum").alias("tok_sum"),
+        F.col("value_min").cast("int").alias("tok_min"),
+        F.col("value_max").cast("int").alias("tok_max"),
+    )
+
+
+@register(
+    "tok_table_checksum",
+    _TOK_CTE
+    + """
+SELECT doc_id, source, n_tok,
+       CAST(list_aggregate(tokens, 'sum') AS BIGINT) AS tok_checksum  -- list sum → BIGINT (avoid HUGEINT→float in pandas)
+FROM tok
+""",
+)
+def q_tok_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-array invariant surface: per-row checksum of the tokens column.
+
+    Any reorder/re-encode/cast of `tokens` flips the checksum — this is the
+    per-row token-array-equality invariant (input_hint) as a driver query.
+    """
+    tt = doc_token_table(spark, sf_dir)
+    return tt.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("tok_checksum"),
+    )
+
+
+for _tier, _unit in (("1m", "minute"), ("1h", "hour"), ("1d", "day")):
+    register(f"tok_rollup_{_tier}", _TOK_ROLLUP_SQL.format(unit=_unit))(
+        lambda spark, sf_dir, t=_tier: _tok_rollup(spark, sf_dir, t)
+    )
+
+
+@register("tok_rollup_cascade_1h", _TOK_ROLLUP_SQL.format(unit="hour"))
+def q_tok_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tier derived FROM THE 1m TIER (algebraic cascade); oracle computes
+    it directly from raw rows — proves cascade ≡ direct."""
+    tt = doc_token_table(spark, sf_dir)
+    r1m = rollup(tt, "1m", ts_col="event_ts", value_col="n_tok")
+    r1h = rollup_cascade(r1m, "1h")
+    return r1h.select(
+        "source",
+        epoch(),
+        F.col("point_count").alias("seq_count"),
+        F.col("value_sum").alias("tok_sum"),
+        F.col("value_min").cast("int").alias("tok_min"),
+        F.col("value_max").cast("int").alias("tok_max"),
+    )
+
+
+@register("tok_rollup_1h_salted", _TOK_ROLLUP_SQL.format(unit="hour"))
+def q_tok_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted rollup vs plain-groupBy oracle — proves salting
+    associativity (north-rule skew handling)."""
+    tt = doc_token_table(spark, sf_dir)
+    r = rollup_salted(tt, "1h", ts_col="event_ts", value_col="n_tok", n_salt=16)
+    return r.select(
+        "source",
+        epoch(),
+        F.col("point_count").alias("seq_count"),
+        F.col("value_sum").alias("tok_sum"),
+        F.col("value_min").cast("int").alias("tok_min"),
+        F.col("value_max").cast("int").alias("tok_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events-table queries: the generic time-series substrate (series=event_type).
+# value is dollars.cents → exact BIGINT cents.
+# ---------------------------------------------------------------------------
+
+_EVENTS_AGG_SQL = """
+SELECT event_type,
+       CAST(epoch(date_trunc('{unit}', ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS point_count,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _events_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("value_cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .groupBy("event_type", F.date_trunc("minute", "ts").alias("bucket_ts"))
+        .agg(
+            F.count("*").alias("point_count"),
+            F.sum("value_cents").alias("value_cents"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+    )
+
+
+for _tier2, _unit2 in (("1m", "minute"), ("1h", "hour"), ("1d", "day")):
+
+    def _mk_events_rollup(unit: str) -> SparkQuery:
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ev = load_table(spark, sf_dir, "events")
+            return (
+                ev.withColumn(
+                    "value_cents", F.round(F.col("value") * 100, 0).cast("long")
+                )
+                .groupBy("event_type", F.date_trunc(unit, "ts").alias("bucket_ts"))
+                .agg(
+                    F.count("*").alias("point_count"),
+                    F.sum("value_cents").alias("value_cents"),
+                    F.min("value").alias("value_min"),
+                    F.max("value").alias("value_max"),
+                )
+                .select(
+                    "event_type", epoch(), "point_count", "value_cents",
+                    "value_min", "value_max",
+                )
+            )
+
+        return fn
+
+    register(f"events_rollup_{_tier2}", _EVENTS_AGG_SQL.format(unit=_unit2))(
+        _mk_events_rollup(_unit2)
+    )
+
+
+_SPINE_CTE = """
+WITH agg AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg
+), spine AS (
+  SELECT et.event_type, g.bucket_ts
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS bucket_ts
+              FROM bounds) g
+), joined AS (
+  SELECT s.event_type, s.bucket_ts, a.value_cents
+  FROM spine s LEFT JOIN agg a USING (event_type, bucket_ts)
+)
+"""
+
+
+@register(
+    "events_gapfill_ffill_1m",
+    _SPINE_CTE
+    + """
+SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts,
+       last_value(value_cents IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cents
+FROM joined
+""",
+)
+def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap materialization + forward-fill at the 1m tier
+    (SURVEY.md §2.9 forward_fill; imputation.py:229-230 semantics —
+    leading gaps stay null)."""
+    agg = _events_1m(spark, sf_dir).select("event_type", "bucket_ts", "value_cents")
+    reg = regularize(agg, "1m", series_cols=("event_type",))
+    out = ffill(reg, ["value_cents"], series_cols=("event_type",))
+    return out.select("event_type", epoch(), "value_cents")
+
+
+@register(
+    "events_gapfill_interp_1m",
+    _SPINE_CTE
+    + """
+, f AS (
+  SELECT event_type, bucket_ts, value_cents,
+    last_value(value_cents IGNORE NULLS) OVER w_prev AS prev_v,
+    first_value(value_cents IGNORE NULLS) OVER w_next AS next_v,
+    last_value(CASE WHEN value_cents IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS)
+      OVER w_prev AS prev_t,
+    first_value(CASE WHEN value_cents IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS)
+      OVER w_next AS next_t
+  FROM joined
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts,
+  round(CASE
+    WHEN value_cents IS NOT NULL THEN CAST(value_cents AS DOUBLE)
+    WHEN prev_v IS NULL THEN NULL
+    WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+    ELSE CAST(prev_v AS DOUBLE)
+       + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+         * ((CAST(epoch(bucket_ts) AS DOUBLE) - CAST(prev_t AS DOUBLE))
+            / (CAST(next_t AS DOUBLE) - CAST(prev_t AS DOUBLE)))
+  END, 6) AS value_interp
+FROM f
+""",
+)
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the 1m grid (pandas-interpolate semantics:
+    interior=linear, trailing=ffill, leading=null)."""
+    agg = _events_1m(spark, sf_dir).select(
+        "event_type",
+        "bucket_ts",
+        F.col("value_cents").cast("double").alias("value_interp"),
+    )
+    reg = regularize(agg, "1m", series_cols=("event_type",))
+    out = interpolate_linear(reg, ["value_interp"], series_cols=("event_type",))
+    return out.select(
+        "event_type", epoch(), F.round("value_interp", 6).alias("value_interp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract surface
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: e.spark for name, e in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.sql for name, e in REGISTRY.items() if e.sql is not None}
