@@ -304,8 +304,16 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, SparkQuery]:
+    _load_extra_registries()
     return {name: e.spark for name, e in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extra_registries()
     return {name: e.sql for name, e in REGISTRY.items() if e.sql is not None}
+
+
+def _load_extra_registries() -> None:
+    """Import sibling registry modules (they self-register on import).
+    Deferred to avoid a circular import at module load."""
+    import etna_spark.registry_ops  # noqa: F401

@@ -6,9 +6,11 @@ from __future__ import annotations
 
 import pytest
 
-from etna_spark.registry import REGISTRY
+from etna_spark.registry import REGISTRY, queries
 
 from .conftest import SF_DIR, compare_to_oracle
+
+queries()  # force-load sibling registry modules before parametrization
 
 ORACLE_NAMES = sorted(n for n, e in REGISTRY.items() if e.sql is not None)
 ROWS_ONLY_NAMES = sorted(n for n, e in REGISTRY.items() if e.sql is None)
