@@ -1,0 +1,121 @@
+"""Two-parallelism scaling evidence for the north rule's N→4N criterion.
+
+Runs bench.py in fresh subprocesses at local[8] and local[32] on the SAME
+input (deterministic synthesis ⇒ identical data) and reports per-workload
+throughput plus scaling efficiency
+
+    eff = (throughput@32 / throughput@8) / (32 / 8)
+
+into BENCH/BASELINE.md. Fresh processes, because a Spark master can't change
+within one JVM.
+
+Usage: python BENCH/run_scaling.py [--rows N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, rows: int, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_ROWS=str(rows),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bench at {cpus} cpus produced no JSON:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=192_000_000)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    args = ap.parse_args()
+
+    lo = run_bench(args.low, args.rows, args.sf_dir)
+    hi = run_bench(args.high, args.rows, args.sf_dir)
+    factor = args.high / args.low
+
+    rows_out = []
+    effs = {}
+    for q in lo["queries"]:
+        t_lo, t_hi = lo["queries"][q], hi["queries"][q]
+        speedup = t_lo / t_hi
+        eff = speedup / factor
+        effs[q] = eff
+        rows_out.append((q, t_lo, t_hi, speedup, eff))
+
+    headline_lo = lo["raw_rows_per_sec"]
+    headline_hi = hi["raw_rows_per_sec"]
+    headline_eff = (headline_hi / headline_lo) / factor
+
+    md = [
+        "# BENCH/BASELINE.md — self-measured baseline + N→4N scaling",
+        "",
+        f"Input: deterministic synthetic token table, {args.rows:,} rows "
+        f"(FIXTURES.md §A recipe) + sf tables at `{args.sf_dir}`.",
+        f"Parallelism levels: local[{args.low}] vs local[{args.high}] "
+        "(sandbox stand-in for N vs 4N executors; fresh JVM each).",
+        "",
+        "## Headline: token tier-cascade ingest throughput",
+        "",
+        "| level | raw rows/sec | rolled-up points/sec |",
+        "|---|---|---|",
+        f"| local[{args.low}] | {headline_lo:,.0f} | {lo['rollup_points_per_sec']:,.0f} |",
+        f"| local[{args.high}] | {headline_hi:,.0f} | {hi['rollup_points_per_sec']:,.0f} |",
+        "",
+        f"**Scaling efficiency ({args.low}→{args.high} cores): "
+        f"{headline_eff:.3f}** (target ≥ 0.8)",
+        "",
+        "## Per-workload wall times",
+        "",
+        f"| workload | local[{args.low}] s | local[{args.high}] s | speedup | efficiency |",
+        "|---|---|---|---|---|",
+    ]
+    for q, t_lo, t_hi, sp, eff in rows_out:
+        md.append(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | {sp:.2f}× | {eff:.3f} |")
+    md += [
+        "",
+        "## Storage codec",
+        "",
+        f"Gorilla: {hi['gorilla_bytes_per_point']:.2f} bytes/point on the 1m "
+        "tier (raw: 16 B/point).",
+        "",
+        "Raw JSON:",
+        "```json",
+        json.dumps({"low": lo, "high": hi,
+                    "efficiency": {"headline": headline_eff, **effs}}, indent=1),
+        "```",
+    ]
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps({
+        "headline_efficiency": round(headline_eff, 3),
+        "low_rows_per_sec": headline_lo,
+        "high_rows_per_sec": headline_hi,
+        "per_query_efficiency": {k: round(v, 3) for k, v in effs.items()},
+        "report": out_path,
+    }))
+
+
+if __name__ == "__main__":
+    main()

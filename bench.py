@@ -1,0 +1,176 @@
+"""Benchmark harness: headline engine workloads at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+{"metric": "e2e_bench_sec", "value": <total sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": ...,
+ "rollup_points": N, "raw_rows_per_sec": N, "cpus": N}
+
+Workload: the north-rule pipeline over the deterministic synthetic token
+table (FIXTURES.md §A recipe; 64 zipf-skewed sources over a 7-day window) —
+tier cascade 1m→1h→1d, spine gap-fill (ffill + interpolation), trailing
+window features, salted rollup of the hot keys, Gorilla encode of the 1m
+tier, plus the events-table rollup+interp at the given sf.
+
+The token table is materialized to parquet ONCE (untimed — a real deployment
+READS its input); the timed pipeline starts at the scan. Input splits are
+kept small (8 MB) so scan parallelism is never file-bound at bench sizes —
+at 100 TB real scale the split count is naturally in the thousands.
+
+BENCH/run_scaling.py runs this file at two parallelism levels (N and 4N
+cores) on the SAME input and reports scaling efficiency into
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etna_spark.codec.gorilla import encode_series
+from etna_spark.operators.rollup import rollup, rollup_cascade, rollup_salted
+from etna_spark.operators.spine import ffill, interpolate_linear, regularize
+from etna_spark.session import get_spark
+from etna_spark.synth import token_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_TOKENS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "8000000"))
+CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/etna_bench_cache")
+N_SOURCES = 64
+WINDOW_SECONDS = 7 * 86400
+
+
+def _input_path() -> str:
+    return os.path.join(CACHE_DIR, f"tok_s{N_SOURCES}_w7_{N_TOKENS}")
+
+
+def _ensure_input(spark) -> None:
+    path = _input_path()
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    token_table(
+        spark, N_TOKENS, n_sources=N_SOURCES, window_seconds=WINDOW_SECONDS,
+        with_tokens=False, num_partitions=max(64, CPUS * 4),
+    ).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        "etna-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+        extra_conf={"spark.sql.files.maxPartitionBytes": "8m"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    _ensure_input(spark)
+    # warm-up: executor threads + whole-stage-codegen JIT + page cache for the
+    # input, so timings measure the workload, not first-job compilation
+    spark.range(0, 2_000_000, numPartitions=CPUS).select(
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000_007)))
+    ).collect()
+    tt = spark.read.parquet(_input_path())
+    tt.count()
+
+    queries: dict[str, float] = {}
+    t_all = time.time()
+
+    # -- 1. token tier cascade (headline) -------------------------------------
+    t0 = time.time()
+    r1m = rollup(tt, "1m").cache()
+    n_1m = r1m.count()
+    r1h = rollup_cascade(r1m, "1h").cache()
+    n_1h = r1h.count()
+    r1d = rollup_cascade(r1h, "1d")
+    n_1d = r1d.count()
+    queries["tok_tiers_cascade"] = time.time() - t0
+    rollup_points = n_1m + n_1h + n_1d
+
+    # -- 2. gap-fill (spine + ffill + interpolation) ---------------------------
+    t0 = time.time()
+    reg = regularize(r1m, "1m", series_cols=("source",))
+    filled = ffill(reg, ["value_sum"], series_cols=("source",))
+    interp = interpolate_linear(
+        filled.select("source", "bucket_ts",
+                      F.col("value_min").cast("double").alias("vmin")),
+        ["vmin"], series_cols=("source",),
+    )
+    interp.agg(F.sum("vmin"), F.count("*")).collect()
+    queries["tok_gapfill"] = time.time() - t0
+
+    # -- 3. trailing window features ------------------------------------------
+    t0 = time.time()
+    w = Window.partitionBy("source").orderBy("bucket_ts").rowsBetween(-59, 0)
+    feats = r1m.select(
+        "source", "bucket_ts",
+        F.avg("value_sum").over(w).alias("m60"),
+        F.stddev_samp("value_sum").over(w).alias("s60"),
+        F.max("value_max").over(w).alias("x60"),
+        (F.col("value_sum") - F.lag("value_sum", 1).over(
+            Window.partitionBy("source").orderBy("bucket_ts"))).alias("d1"),
+    )
+    feats.agg(F.sum("m60"), F.sum("s60"), F.sum("x60"), F.sum("d1")).collect()
+    queries["tok_window_features"] = time.time() - t0
+
+    # -- 4. salted rollup on the skewed source keys ----------------------------
+    t0 = time.time()
+    rollup_salted(tt, "1h", n_salt=CPUS).agg(
+        F.sum("value_sum"), F.count("*")
+    ).collect()
+    queries["tok_salted_rollup"] = time.time() - t0
+
+    # -- 5. Gorilla encode of the 1m tier --------------------------------------
+    t0 = time.time()
+    enc = encode_series(r1m, series_cols=("source",), ts_col="bucket_ts",
+                        value_col="value_sum")
+    enc_stats = enc.agg(
+        F.sum("n_points").alias("pts"),
+        F.sum(F.length("codec_blob")).alias("bytes"),
+    ).collect()[0]
+    queries["gorilla_encode_1m"] = time.time() - t0
+
+    # -- 6. events pipeline on the sf tables -----------------------------------
+    t0 = time.time()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    e1m = (
+        ev.withColumn("vc", F.round(F.col("value") * 100, 0).cast("long"))
+        .groupBy("event_type", F.date_trunc("minute", "ts").alias("bucket_ts"))
+        .agg(F.sum("vc").alias("vc"), F.count("*").alias("c"))
+    )
+    ereg = regularize(e1m, "1m", series_cols=("event_type",))
+    efill = interpolate_linear(
+        ereg.select("event_type", "bucket_ts", F.col("vc").cast("double").alias("v")),
+        ["v"], series_cols=("event_type",),
+    )
+    efill.agg(F.sum("v"), F.count("*")).collect()
+    queries["events_rollup_interp"] = time.time() - t0
+
+    total = time.time() - t_all
+    tiers_sec = queries["tok_tiers_cascade"]
+    result = {
+        "metric": "e2e_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf,
+        "cpus": CPUS,
+        "bench_rows": N_TOKENS,
+        "rollup_points": int(rollup_points),
+        "rollup_points_per_sec": round(rollup_points / tiers_sec, 1),
+        "raw_rows_per_sec": round(N_TOKENS / tiers_sec, 1),
+        "gorilla_points": int(enc_stats["pts"]),
+        "gorilla_bytes_per_point": round(enc_stats["bytes"] / enc_stats["pts"], 3),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
