@@ -44,11 +44,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_TOKENS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "8000000"))
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/etna_bench_cache")
 N_SOURCES = 64
-WINDOW_SECONDS = 7 * 86400
+WINDOW_SECONDS = 14 * 86400
+# series key for tier workloads: source + salted doc_id bucket
+# (SURVEY.md §1.3) — the geometric source skew alone leaves only ~20
+# sources with data; the salt gives the window/gap-fill/codec stages
+# hundreds of real series
+N_BUCKETS = 32
 
 
 def _input_path() -> str:
-    return os.path.join(CACHE_DIR, f"tok_s{N_SOURCES}_w7_{N_TOKENS}")
+    return os.path.join(CACHE_DIR, f"tok_s{N_SOURCES}_w14_{N_TOKENS}")
 
 
 def _ensure_input(spark) -> None:
@@ -76,7 +81,17 @@ def main() -> None:
     spark.range(0, 2_000_000, numPartitions=CPUS).select(
         F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000_007)))
     ).collect()
-    tt = spark.read.parquet(_input_path())
+    # warm the Python UDF workers (numpy import + worker spawn per core)
+    import pandas as _pd
+
+    spark.range(0, CPUS * 8, numPartitions=CPUS).withColumn(
+        "g", F.pmod("id", F.lit(CPUS * 4))
+    ).groupBy("g").applyInPandas(
+        lambda pdf: _pd.DataFrame({"g": [int(pdf["g"].iloc[0])]}), "g long"
+    ).count()
+    tt = spark.read.parquet(_input_path()).withColumn(
+        "bkt", F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS))
+    )
     tt.count()
 
     queries: dict[str, float] = {}
@@ -84,37 +99,40 @@ def main() -> None:
 
     # -- 1. token tier cascade (headline) -------------------------------------
     t0 = time.time()
-    r1m = rollup(tt, "1m").cache()
+    series = ("source", "bkt")
+    # explicit N pins the cached tier's partitioning (AQE would coalesce the
+    # small shuffle and serialize every downstream window/pUDF stage)
+    r1m = rollup(tt, "1m", series_cols=series).repartition(CPUS * 2, *series).cache()
     n_1m = r1m.count()
-    r1h = rollup_cascade(r1m, "1h").cache()
+    r1h = rollup_cascade(r1m, "1h", series_cols=series).cache()
     n_1h = r1h.count()
-    r1d = rollup_cascade(r1h, "1d")
+    r1d = rollup_cascade(r1h, "1d", series_cols=series)
     n_1d = r1d.count()
     queries["tok_tiers_cascade"] = time.time() - t0
     rollup_points = n_1m + n_1h + n_1d
 
     # -- 2. gap-fill (spine + ffill + interpolation) ---------------------------
     t0 = time.time()
-    reg = regularize(r1m, "1m", series_cols=("source",))
-    filled = ffill(reg, ["value_sum"], series_cols=("source",))
+    reg = regularize(r1m, "1m", series_cols=series)
+    filled = ffill(reg, ["value_sum"], series_cols=series)
     interp = interpolate_linear(
-        filled.select("source", "bucket_ts",
+        filled.select("source", "bkt", "bucket_ts",
                       F.col("value_min").cast("double").alias("vmin")),
-        ["vmin"], series_cols=("source",),
+        ["vmin"], series_cols=series,
     )
     interp.agg(F.sum("vmin"), F.count("*")).collect()
     queries["tok_gapfill"] = time.time() - t0
 
     # -- 3. trailing window features ------------------------------------------
     t0 = time.time()
-    w = Window.partitionBy("source").orderBy("bucket_ts").rowsBetween(-59, 0)
+    w = Window.partitionBy("source", "bkt").orderBy("bucket_ts").rowsBetween(-59, 0)
     feats = r1m.select(
-        "source", "bucket_ts",
+        "source", "bkt", "bucket_ts",
         F.avg("value_sum").over(w).alias("m60"),
         F.stddev_samp("value_sum").over(w).alias("s60"),
         F.max("value_max").over(w).alias("x60"),
         (F.col("value_sum") - F.lag("value_sum", 1).over(
-            Window.partitionBy("source").orderBy("bucket_ts"))).alias("d1"),
+            Window.partitionBy("source", "bkt").orderBy("bucket_ts"))).alias("d1"),
     )
     feats.agg(F.sum("m60"), F.sum("s60"), F.sum("x60"), F.sum("d1")).collect()
     queries["tok_window_features"] = time.time() - t0
@@ -128,7 +146,7 @@ def main() -> None:
 
     # -- 5. Gorilla encode of the 1m tier --------------------------------------
     t0 = time.time()
-    enc = encode_series(r1m, series_cols=("source",), ts_col="bucket_ts",
+    enc = encode_series(r1m, series_cols=series, ts_col="bucket_ts",
                         value_col="value_sum")
     enc_stats = enc.agg(
         F.sum("n_points").alias("pts"),

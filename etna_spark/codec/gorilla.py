@@ -251,24 +251,36 @@ def encode_series(
     ).select(*series_cols, "_chunk", F.col(ts_col).cast("long").alias("_ts"),
              F.col(value_col).cast("double").alias("_v"))
 
+    # one Spark group per SERIES (not per chunk): per-group applyInPandas
+    # dispatch costs dominate the numpy kernel at tier sizes, so the chunk
+    # loop lives inside the kernel
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_ts", kind="mergesort")
-        ts = pdf["_ts"].to_numpy(np.int64)
-        vals = pdf["_v"].to_numpy(np.float64)
-        blob = encode_chunk(ts, vals)
-        checksum = int(
-            (ts.astype(np.uint64).sum() + vals.view(np.uint64).sum())
-            % np.uint64(1 << 63)
-        )
-        head = pdf.iloc[:1][series_cols + ["_chunk"]].rename(
-            columns={"_chunk": "chunk_start"}
-        )
-        head["codec_blob"] = [blob]
-        head["n_points"] = len(ts)
-        head["checksum"] = checksum
-        return head
+        order = np.lexsort((pdf["_ts"].to_numpy(),))
+        ts_all = pdf["_ts"].to_numpy(np.int64)[order]
+        v_all = pdf["_v"].to_numpy(np.float64)[order]
+        c_all = pdf["_chunk"].to_numpy(np.int64)[order]
+        starts = np.flatnonzero(np.r_[True, c_all[1:] != c_all[:-1]])
+        ends = np.r_[starts[1:], len(c_all)]
+        out = {
+            "chunk_start": [], "codec_blob": [], "n_points": [], "checksum": [],
+        }
+        for s, e in zip(starts, ends):
+            ts, vals = ts_all[s:e], v_all[s:e]
+            out["chunk_start"].append(int(c_all[s]))
+            out["codec_blob"].append(encode_chunk(ts, vals))
+            out["n_points"].append(e - s)
+            out["checksum"].append(
+                int(
+                    (ts.astype(np.uint64).sum() + vals.view(np.uint64).sum())
+                    % np.uint64(1 << 63)
+                )
+            )
+        res = pd.DataFrame(out)
+        for c in series_cols:
+            res[c] = pdf[c].iloc[0]
+        return res[series_cols + ["chunk_start", "codec_blob", "n_points", "checksum"]]
 
-    return chunked.groupBy(*series_cols, "_chunk").applyInPandas(enc, out_schema)
+    return chunked.groupBy(*series_cols).applyInPandas(enc, out_schema)
 
 
 def decode_series(

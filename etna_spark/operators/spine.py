@@ -40,6 +40,13 @@ def calendar_spine(
         F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
     )
     series = tier_df.select(*series_cols).distinct()
+    # the distinct() output is tiny (one row per series) and AQE coalesces it
+    # to ~1 partition — but each row EXPLODES into the full bucket range, so
+    # leaving it coalesced would build the whole spine in one task. Spread the
+    # series across the configured shuffle parallelism first (explicit N so
+    # AQE doesn't re-coalesce the exchange).
+    n_part = int(tier_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    series = series.repartition(n_part, *series_cols)
     spine = series.crossJoin(F.broadcast(bounds)).select(
         *series_cols,
         F.explode(

@@ -46,7 +46,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # Advisory kept small: AQE sizes post-shuffle partitions by SHUFFLE
+        # bytes, but downstream per-row work (window chains, Arrow pUDFs) is
+        # often 10-50x the shuffle bytes — a 64m advisory coalesces a tier
+        # shuffle to 1-3 partitions and serializes everything after it.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
         # Arrow: all pandas-UDF traffic is Arrow-batched; bound batch size so
         # per-series kernels never materialize unbounded memory.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
