@@ -1,0 +1,236 @@
+"""Deduplication family for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash. No reference counterpart (engine-specific; SURVEY.md
+inventory extension).
+
+Scale design:
+- exact dedup is a single hash-aggregate on the content key (map-side
+  partial → shuffle one row per group);
+- near-dup methods NEVER do the naive O(n²) cross join: candidate pairs come
+  from an equi-join on shared shingles / LSH band buckets, so the shuffle
+  carries (bucket, doc) pairs and the pair space is only what collides —
+  the standard web-scale dedup shape;
+- hot buckets (stop-shingles) are capped (``max_bucket``) before the
+  self-join — the dedup twin of rollup salting, without which one viral
+  shingle produces a quadratic reducer.
+
+Hash discipline: arithmetic polynomial hashes over codepoints (oracle-
+expressible, deterministic); the plan shape is unchanged if swapped for
+xxhash64 at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etna_spark.data.text import HASH_MOD, word_code, words
+
+# LCG-ish mixing constants for the MinHash permutation family
+_PERM_A = 1103515245
+_PERM_B = 12345
+
+
+def exact_dedup(
+    df: DataFrame, key_cols=("text",), id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups with >1 rows: (key..., canonical_id = min id, dup_count)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles(text: str | Column, k: int = 3) -> Column:
+    """Word k-shingles as arrays of word arrays → joined strings."""
+    w = words(text)
+    n = F.size(w)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+    )
+
+
+def shingle_hash(sh: Column) -> Column:
+    """Polynomial hash of a shingle's word codes (order-sensitive)."""
+    return F.aggregate(
+        F.split(sh, " "),
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * 131 + word_code(w), F.lit(HASH_MOD)),
+    )
+
+
+def _doc_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, sh) — distinct shingle hashes per doc."""
+    return (
+        df.select(id_col, F.explode(shingles(text_col, k)).alias("_s"))
+        .select(id_col, shingle_hash(F.col("_s")).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) over the distinct-k-shingle sets, candidates from
+    shared shingles, exact Jaccard verification."""
+    sh = _doc_shingle_hashes(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    # cap viral shingles before the self-join (quadratic reducer guard)
+    bucket_sizes = sh.groupBy("sh").agg(F.count("*").alias("_bs"))
+    capped = sh.join(
+        bucket_sizes.filter(F.col("_bs") <= max_bucket).select("sh"), on="sh"
+    )
+    a = capped.select(F.col(id_col).alias("id_a"), "sh")
+    b = capped.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "_sz": "_sa"}), on="id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "_sz": "_sb"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """(id, sig: array<long>) — min over the permuted shingle-hash family
+    ``(a_i·h + b_i) mod p``."""
+    sh = _doc_shingle_hashes(df, id_col, text_col, k)
+    sig_cols = [
+        F.min(
+            F.pmod(F.col("sh") * ((_PERM_A * (i + 1)) % HASH_MOD) + _PERM_B * (i + 1),
+                   F.lit(HASH_MOD))
+        ).alias(f"_m{i}")
+        for i in range(num_perm)
+    ]
+    sigs = sh.groupBy(id_col).agg(*sig_cols)
+    return sigs.select(
+        id_col, F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from LSH band buckets, scored by signature agreement
+    (estimated Jaccard); classic shingle→minhash→band→bucket-join."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm).cache()
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.aggregate(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: F.pmod(acc * 131 + x, F.lit(HASH_MOD)),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+                      "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+                      "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(num_perm),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over word hashes.
+
+    For each bit j, sum ±1 over the words' polynomial hashes; bit j of the
+    result is 1 when the sum is positive. Vectorized as a 64-element
+    higher-order-function reduction (no Python)."""
+    w_hashes = F.transform(words(text_col), lambda w: F.xxhash64(w))
+
+    def bit_vote(j: int):
+        # closure (not a default arg: pyspark's lambda introspection counts
+        # parameters, and a bound default would make this look 3-ary)
+        return lambda acc, h: acc + F.when(
+            F.shiftrightunsigned(h, j) % 2 == 1, 1
+        ).otherwise(-1)
+
+    sim = F.lit(0).cast("long")
+    for j in range(64):  # static bit index → plain shift expressions
+        s_j = F.aggregate(w_hashes, F.lit(0).cast("long"), bit_vote(j))
+        sim = sim * 2 + (s_j > 0).cast("long")
+    return df.select(id_col, sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming; candidates
+    bucketed by the top ``prefix_bits`` bits (a 1-table LSH — multi-table
+    rotation is the same plan repeated)."""
+    s = simhash64(df, id_col, text_col)
+    bucketed = s.withColumn(
+        "_bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"),
+                        F.col("simhash").alias("h_a"), "_bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"),
+                        F.col("simhash").alias("h_b"), "_bucket")
+    return (
+        a.join(b, on="_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

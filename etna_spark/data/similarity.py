@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+(random-hyperplane) variant as the scale path — at 10^9+ vectors the
+bucketed join prunes the candidate space to colliding signatures, and an
+IVF refinement is the same plan with learned centroids instead of hash
+planes.
+
+All vector math is JVM-side: zip_with/aggregate higher-order functions with
+float64 accumulation (left-to-right deterministic — SURVEY.md §4.3 float
+discipline). The LSH signature derives hyperplane weights from a hash of
+(plane, dimension) — deterministic, no RNG state, no driver-side model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic left-to-right float64 dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine_sim, rank) — exact top-k per query.
+
+    Queries broadcast against the corpus (the classic small-probe/large-
+    corpus shape); rank ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine_sim", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """sign(v · h_plane) with h derived from hash(plane, dim) ∈ {-1, +1}
+    scaled pseudo-weights — deterministic random hyperplane."""
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.xxhash64(F.lit(plane), i), F.lit(1000)) - 499.5)
+        / 500.0,
+    )
+    return (
+        F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        > 0
+    ).cast("int")
+
+
+def lsh_signature(vec: Column, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
+    """Random-hyperplane signature as a packed long (n_planes ≤ 62)."""
+    bits = F.array(
+        *[_hyperplane_sign(vec, plane_offset + p, dim) for p in range(n_planes)]
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates share a hyperplane-LSH bucket in ANY of
+    ``n_tables`` tables (each table = an independent plane set, ids offset),
+    then exact cosine rescoring. The bucket join is the scale path (no cross
+    join); recall rises with tables, cost with planes per table."""
+
+    def sigs(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        # two selects: referencing a same-select alias from posexplode trips
+        # Spark's lateral-column-alias resolution (INTERNAL_ERROR)
+        base = df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(vecc))
+        tables = F.array(
+            *[
+                lsh_signature(F.col(vecc), n_planes, dim, plane_offset=t * n_planes)
+                for t in range(n_tables)
+            ]
+        )
+        return base.select(
+            idc, vecc, F.posexplode(tables).alias("_table", "_sig")
+        )
+
+    sig_q = sigs(queries, "query_id", "_qv")
+    sig_c = sigs(corpus, "neighbor_id", "_cv")
+    cand = (
+        sig_c.join(F.broadcast(sig_q), on=["_table", "_sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .distinct()
+    )
+    scored = cand.withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine_sim", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
+    candidates (embedding-based near-dedup for training corpora)."""
+    sig = df.select(
+        id_col, vec_col, lsh_signature(F.col(vec_col), n_planes, dim).alias("_sig")
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_sig")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_sig")
+    return (
+        a.join(b, on="_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -1,0 +1,127 @@
+"""Text analysis for large-scale training-data pipelines: token counting,
+quality scoring, language-ID heuristics, document fingerprinting.
+
+No reference counterpart (ETNA is numeric-panel only) — these are the
+data-pipeline operators the 100 TB token lakehouse needs alongside the tier
+engine. All are native column expressions / higher-order functions (JVM-side,
+whole-stage codegen); nothing touches Python per row.
+
+Hash discipline: fingerprints use a POLYNOMIAL hash over word codepoints
+(`(acc·31 + unicode(word[0])·len(word)) mod p`) rather than xxhash64 —
+expressible identically in the DuckDB oracle, and collision-adequate for
+dedup candidate generation; the scale path can swap in xxhash64 without
+changing any plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+
+# tiny multilingual marker sets for the language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+STOPWORDS = ("a", "the", "of", "to", "in", "and")
+
+
+def words(text: str | Column) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, " ")
+
+
+def token_count_whitespace(text: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_bpe_ish(text: str | Column) -> Column:
+    """BPE-ish token estimate: alphanumeric runs + a sub-token for every 4
+    chars of long words (approximates byte-pair splits of rare words)."""
+    t = F.col(text) if isinstance(text, str) else text
+    runs = F.regexp_extract_all(t, F.lit("[a-z0-9]+"), 0)
+    return F.aggregate(
+        runs,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + 1 + F.floor(F.length(w) / 4).cast("long"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / word-shape / stopword-ratio quality features."""
+    w = words(text_col)
+    n_words = F.size(w)
+    n_chars = F.length(text_col)
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": (n_chars - (n_words - 1)) / n_words,
+            "stopword_ratio": stop_hits / n_words,
+            "uniq_word_ratio": F.size(F.array_distinct(w)) / n_words,
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0..1 quality score from the features (heuristic weights)."""
+    f = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_words") / 64.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2
+        + F.col("uniq_word_ratio") * 0.4
+    )
+    return f.withColumn("quality_score", score)
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word hit ratio per language + argmax prediction ('und' when no
+    marker hits). N-gram-frequency language ID reduced to its word-marker
+    form — the Spark plan (HOF filter + greatest/argmax) is identical for
+    richer marker tables."""
+    w = words(text_col)
+    n = F.size(w)
+    cols = {}
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(w, lambda x: x.isin(*markers)))
+        cols[f"score_{lang}"] = hits / n
+    out = df.withColumns(cols)
+    best = None
+    for lang in LANG_MARKERS:
+        s = F.col(f"score_{lang}")
+        best = s if best is None else F.greatest(best, s)
+    pred = F.lit("und")
+    # deterministic tie-break: first language (insertion order) achieving max
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (F.col(f"score_{lang}") > 0) & (F.col(f"score_{lang}") == best),
+            F.lit(lang),
+        ).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def word_code(w: Column) -> Column:
+    """Per-word integer code: first-codepoint × length (cheap, oracle-safe)."""
+    return F.ascii(w) * F.length(w)
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Order-sensitive polynomial rolling hash of the word sequence."""
+    return F.aggregate(
+        words(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * 31 + word_code(w), F.lit(HASH_MOD)),
+    )
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = quality_score(df, text_col)
+    out = out.withColumn("fingerprint", fingerprint(text_col))
+    out = out.withColumn("n_tokens_ws", token_count_whitespace(text_col))
+    return out

@@ -1,0 +1,175 @@
+"""Training-data pipeline ops: text stats, dedup family, similarity search,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etna_spark.data.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from etna_spark.data.multimodal import extract_features, frame_sample, synth_media_table
+from etna_spark.data.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_neardup_pairs,
+)
+from etna_spark.data.text import add_text_stats, lang_scores, token_count_bpe_ish
+
+from .conftest import SF_DIR
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words appear here nothing shared"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "der hund ist und der das"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), key_cols=("text",), id_col="doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["canonical_id"] == 1 and out[0]["dup_count"] == 2
+
+
+def test_ngram_jaccard_finds_neardup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), k=3, threshold=0.3).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_lsh_recalls_neardups(spark):
+    sigs = minhash_signatures(_docs(spark), num_perm=16).collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    assert by_id[1] == by_id[4]  # identical docs → identical signatures
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            _docs(spark), num_perm=16, bands=4, threshold=0.4
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 3) not in pairs
+
+
+def test_simhash_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(_docs(spark), max_hamming=10, prefix_bits=8).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical docs → identical simhash
+    assert (1, 3) not in pairs or pairs[(1, 3)] > 0
+
+
+def test_text_stats_and_langid(spark):
+    out = add_text_stats(_docs(spark), "text")
+    r1 = out.filter("doc_id = 1").collect()[0]
+    assert r1["n_words"] == 9
+    assert r1["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+    assert r1["uniq_word_ratio"] == pytest.approx(8 / 9)
+    r4 = out.filter("doc_id = 4").collect()[0]
+    assert r1["fingerprint"] == r4["fingerprint"]
+    assert out.filter("doc_id = 3").collect()[0]["fingerprint"] != r1["fingerprint"]
+
+    langs = {r["doc_id"]: r["lang_pred"] for r in lang_scores(_docs(spark)).collect()}
+    assert langs[1] == "en" and langs[5] == "de"
+    assert langs[3] == "und"  # no markers
+
+
+def test_token_count_bpe_ish(spark):
+    df = spark.createDataFrame(
+        [(1, "short words here"), (2, "extraordinarily long terminology")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", token_count_bpe_ish("text").alias("n")).collect()}
+    # per word: 1 + len//4 → short(2) words(2) here(2) = 6
+    assert out[1] == 6
+    # extraordinarily(4) long(2) terminology(3) = 9
+    assert out[2] == 9
+
+
+def test_cosine_topk_bruteforce_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    out = cosine_topk_bruteforce(queries, emb, k=4).collect()
+    # numpy oracle
+    import pandas as pd
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    mat = mat.astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    for q in range(3):
+        sims = mat @ mat[q] / (norms * norms[q])
+        order = sorted(
+            [(round(-sims[j], 6), ids[j]) for j in range(len(ids)) if ids[j] != q]
+        )[:4]
+        expected = [int(i) for _, i in order]
+        got = sorted(
+            [(r["rank"], r["neighbor_id"]) for r in out if r["query_id"] == q]
+        )
+        assert [n for _, n in got] == expected, f"query {q}"
+
+
+def test_cosine_lsh_is_subset_with_decent_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    exact = cosine_topk_bruteforce(queries, emb, k=1).collect()
+    approx = cosine_topk_lsh(queries, emb, k=1, n_planes=4, n_tables=6).collect()
+    exact_top = {r["query_id"]: r["neighbor_id"] for r in exact}
+    approx_top = {r["query_id"]: r["neighbor_id"] for r in approx}
+    hits = sum(1 for q, n in approx_top.items() if exact_top.get(q) == n)
+    assert len(approx_top) >= 10  # most queries get a candidate at 4 planes
+    assert hits / max(len(approx_top), 1) >= 0.3  # single-table recall
+
+
+def test_embedding_neardup_pairs_runs(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = embedding_neardup_pairs(emb, threshold=0.5, n_planes=4)
+    assert out.count() >= 0  # random vectors: few/no pairs; plan must run
+
+
+def test_multimodal_features(spark):
+    media = synth_media_table(spark, 30)
+    feats = extract_features(media, decode_stub="fake").collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature_vec"]) == 16 for r in feats)
+    # deterministic: rerun produces identical features
+    feats2 = extract_features(media, decode_stub="fake").collect()
+    assert {r["media_id"]: r["feat_mean"] for r in feats2} == {
+        r["media_id"]: r["feat_mean"] for r in feats
+    }
+
+
+def test_multimodal_raise_stub(spark):
+    media = synth_media_table(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+        extract_features(media, decode_stub="raise").collect()
+
+
+def test_frame_sampling(spark):
+    media = synth_media_table(spark, 30)
+    frames = frame_sample(media, every_ms=1000).collect()
+    vids = {r["media_id"] for r in frames}
+    assert vids  # only video rows
+    one = [r for r in frames if r["media_id"] == sorted(vids)[0]]
+    assert [r["frame_idx"] for r in sorted(one, key=lambda r: r["frame_ts_ms"])] == list(
+        range(len(one))
+    )
