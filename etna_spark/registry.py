@@ -316,4 +316,5 @@ def oracle_sql() -> dict[str, str]:
 def _load_extra_registries() -> None:
     """Import sibling registry modules (they self-register on import).
     Deferred to avoid a circular import at module load."""
+    import etna_spark.registry_data  # noqa: F401
     import etna_spark.registry_ops  # noqa: F401
