@@ -1,0 +1,169 @@
+"""Transform-chain pipeline + per-series baseline models + backtest.
+
+Reference lifecycle (SURVEY.md §3.2-3.3):
+- ``Pipeline(model, transforms, horizon)``
+  (/root/reference/etna/pipeline/pipeline.py:21-174): fit applies the
+  transform chain then the model; forecast extends the grid
+  (``make_future``), re-applies transforms, lets the model fill the target,
+  then unwinds REVERSIBLE transforms in reverse order;
+- per-segment models (/root/reference/etna/models/mixins.py:324-419) deep-
+  copy a base model per segment — here one ``applyInPandas`` kernel per
+  series group, state rides with the group (no driver loops);
+- backtest (/root/reference/etna/pipeline/base.py:690-1009): rolling-origin
+  folds; the reference's joblib fan-out becomes ordinary cluster
+  parallelism (each fold is a filtered lineage).
+
+Models (forecast = sequential per series, autoregressive where the
+reference's are):
+- NaiveModel(lag)                 (/root/reference/etna/models/naive.py:7)
+- MovingAverageModel(window)      (moving_average.py:4)
+- SeasonalMovingAverageModel(window, seasonality) (seasonal_ma.py:13-50;
+  context = window·seasonality rows)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etna_spark.functions.metrics import compute_metrics
+from etna_spark.operators.splits import apply_fold, generate_folds, make_future
+
+
+class SeasonalMovingAverageModel:
+    """forecast[t] = mean(y[t-s], y[t-2s], ..., y[t-window·s]),
+    autoregressive over the horizon. Naive and plain moving-average are the
+    s=1 / window=1 special cases."""
+
+    def __init__(self, window: int = 5, seasonality: int = 1):
+        self.window = window
+        self.seasonality = seasonality
+
+    @property
+    def context_size(self) -> int:
+        return self.window * self.seasonality
+
+    def kernel(self, y: np.ndarray, n_future: int) -> np.ndarray:
+        w, s = self.window, self.seasonality
+        out = np.concatenate([y, np.full(n_future, np.nan)])
+        n = len(y)
+        for i in range(n, n + n_future):
+            idx = np.arange(i - s, i - s * (w + 1), -s)
+            idx = idx[idx >= 0]
+            out[i] = np.nanmean(out[idx]) if len(idx) else np.nan
+        return out[n:]
+
+
+def naive_model(lag: int = 1) -> SeasonalMovingAverageModel:
+    return SeasonalMovingAverageModel(window=1, seasonality=lag)
+
+
+def moving_average_model(window: int = 5) -> SeasonalMovingAverageModel:
+    return SeasonalMovingAverageModel(window=window, seasonality=1)
+
+
+class Pipeline:
+    def __init__(
+        self,
+        model: SeasonalMovingAverageModel,
+        transforms: Sequence | None = None,
+        horizon: int = 7,
+        step_seconds: int = 86400,
+        in_col: str = "value",
+        series_cols: Sequence[str] = ("series",),
+        ts_col: str = "ts",
+    ):
+        self.model = model
+        self.transforms = list(transforms or [])
+        self.horizon = horizon
+        self.step_seconds = step_seconds
+        self.in_col = in_col
+        self.series_cols = list(series_cols)
+        self.ts_col = ts_col
+        self._train: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> "Pipeline":
+        cur = df
+        for t in self.transforms:
+            t.fit(cur)
+            cur = t.transform(cur)
+        self._train = cur
+        return self
+
+    def forecast(self) -> DataFrame:
+        """Forecast ``horizon`` steps per series; reversible transforms are
+        unwound in reverse order on the result."""
+        if self._train is None:
+            raise ValueError("Pipeline is not fitted!")
+        train = self._train
+        in_col, ts_col = self.in_col, self.ts_col
+        model = self.model
+        horizon = self.horizon
+
+        future = make_future(
+            train.select(*self.series_cols, ts_col, in_col),
+            future_steps=horizon,
+            step_seconds=self.step_seconds,
+            series_cols=self.series_cols,
+            ts_col=ts_col,
+            target_cols=(in_col,),
+        )
+        ctx = train.select(*self.series_cols, ts_col, in_col)
+        full = ctx.unionByName(future)
+        schema = full.schema
+
+        def fc(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+            y = pdf[in_col].to_numpy(np.float64, na_value=np.nan)
+            hist = y[:-horizon]
+            pdf.loc[pdf.index[-horizon:], in_col] = model.kernel(hist, horizon)
+            return pdf.iloc[-horizon:]
+
+        result = full.groupBy(*self.series_cols).applyInPandas(fc, schema)
+        for t in reversed(self.transforms):
+            if hasattr(t, "inverse_transform"):
+                result = t.inverse_transform(result)
+        return result
+
+    def backtest(
+        self,
+        df: DataFrame,
+        metrics: Sequence[str] = ("mae", "mse", "smape"),
+        n_folds: int = 3,
+        stride: int | None = None,
+    ) -> DataFrame:
+        """Rolling-origin evaluation; returns per-(fold, series) metrics."""
+        bounds = df.agg(
+            F.min(self.ts_col).alias("mn"), F.max(self.ts_col).alias("mx")
+        ).collect()[0]
+        folds = generate_folds(
+            bounds["mx"], n_folds=n_folds, horizon=self.horizon,
+            step_seconds=self.step_seconds, stride=stride, first_ts=bounds["mn"],
+        )
+        results = []
+        for fold in folds:
+            train, test = apply_fold(df, fold, ts_col=self.ts_col)
+            p = Pipeline(
+                model=self.model, transforms=self.transforms,
+                horizon=self.horizon, step_seconds=self.step_seconds,
+                in_col=self.in_col, series_cols=self.series_cols,
+                ts_col=self.ts_col,
+            ).fit(train)
+            fc = p.forecast().select(
+                *self.series_cols, self.ts_col,
+                F.col(self.in_col).alias("prediction"),
+            )
+            joined = test.join(fc, on=[*self.series_cols, self.ts_col])
+            m = compute_metrics(
+                joined, true_col=self.in_col, pred_col="prediction",
+                metrics=metrics, series_cols=self.series_cols, ts_col=self.ts_col,
+            ).withColumn("fold", F.lit(fold["fold"]))
+            results.append(m)
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+        return out

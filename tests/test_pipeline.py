@@ -1,0 +1,98 @@
+"""Pipeline fit/forecast/backtest with baseline models, mirroring the
+reference's seasonal-MA forecast semantics (seasonal_ma.py:13-50)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etna_spark.functions.math_ops import add_const, add_const_inverse
+from etna_spark.plans.pipeline import (
+    Pipeline,
+    SeasonalMovingAverageModel,
+    moving_average_model,
+    naive_model,
+)
+
+
+def _panel(spark, n=28):
+    t0 = dt.datetime(2020, 1, 1)
+    rows = []
+    for seg, base in (("s1", 0.0), ("s2", 100.0)):
+        for i in range(n):
+            rows.append((seg, t0 + dt.timedelta(days=i), base + (i % 7)))
+    return spark.createDataFrame(rows, "series string, ts timestamp, value double")
+
+
+def _fc(df, seg):
+    rows = df.filter(f"series='{seg}'").orderBy("ts").select("value").collect()
+    return np.array([r[0] for r in rows])
+
+
+def test_naive_forecast(spark):
+    df = _panel(spark)
+    p = Pipeline(model=naive_model(lag=7), horizon=7,
+                 in_col="value", series_cols=("series",), ts_col="ts").fit(df)
+    out = p.forecast()
+    # weekly periodic data + naive(7) → forecast repeats the pattern exactly
+    np.testing.assert_allclose(_fc(out, "s1"), [0, 1, 2, 3, 4, 5, 6])
+    np.testing.assert_allclose(_fc(out, "s2"), [100, 101, 102, 103, 104, 105, 106])
+    assert out.count() == 14
+
+
+def test_seasonal_ma_matches_reference_kernel(spark):
+    df = _panel(spark)
+    model = SeasonalMovingAverageModel(window=2, seasonality=7)
+    p = Pipeline(model=model, horizon=5, in_col="value",
+                 series_cols=("series",), ts_col="ts").fit(df)
+    out = p.forecast()
+    hist = np.array([i % 7 for i in range(28)], float)
+    expected = model.kernel(hist, 5)
+    np.testing.assert_allclose(_fc(out, "s1"), expected)
+
+
+def test_moving_average_is_autoregressive(spark):
+    t0 = dt.datetime(2020, 1, 1)
+    df = spark.createDataFrame(
+        [("s", t0 + dt.timedelta(days=i), float(v))
+         for i, v in enumerate([1, 2, 3, 4])],
+        "series string, ts timestamp, value double",
+    )
+    p = Pipeline(model=moving_average_model(window=2), horizon=3,
+                 in_col="value", series_cols=("series",), ts_col="ts").fit(df)
+    out = _fc(p.forecast(), "s")
+    # step1: (3+4)/2=3.5; step2: (4+3.5)/2=3.75; step3: (3.5+3.75)/2=3.625
+    np.testing.assert_allclose(out, [3.5, 3.75, 3.625])
+
+
+def test_pipeline_with_reversible_transform(spark):
+    df = _panel(spark)
+
+    class AddConst:
+        def fit(self, d):
+            return self
+
+        def transform(self, d):
+            return add_const(d, "value", 50.0)
+
+        def inverse_transform(self, d):
+            return add_const_inverse(d, "value", 50.0)
+
+    p = Pipeline(model=naive_model(lag=7), transforms=[AddConst()], horizon=7,
+                 in_col="value", series_cols=("series",), ts_col="ts").fit(df)
+    out = p.forecast()
+    np.testing.assert_allclose(_fc(out, "s1"), [0, 1, 2, 3, 4, 5, 6])
+
+
+def test_backtest_metrics(spark):
+    df = _panel(spark, n=42)
+    p = Pipeline(model=naive_model(lag=7), horizon=7,
+                 in_col="value", series_cols=("series",), ts_col="ts")
+    m = p.backtest(df, metrics=("mae", "mse"), n_folds=3)
+    rows = m.collect()
+    assert len(rows) == 6  # 3 folds × 2 series
+    # periodic data + naive(7): perfect forecast
+    assert all(r["mae"] == 0.0 and r["mse"] == 0.0 for r in rows)
+    assert sorted({r["fold"] for r in rows}) == [0, 1, 2]

@@ -1,0 +1,61 @@
+"""Structured-streaming rollup: availableNow drain must equal the batch
+rollup, and a second drain after appending late data must converge."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etna_spark.operators.rollup import rollup
+from etna_spark.streaming.rollup_stream import run_available_now, stream_rollup
+from etna_spark.synth import token_table
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    tt = token_table(spark, 2000, with_tokens=False)
+    tt.write.mode("overwrite").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    s = stream_rollup(spark, inp, schema, tier="1m", watermark="1 minute")
+    run_available_now(s, ckpt, out)
+
+    got = spark.read.parquet(out)
+    expected = rollup(tt, "1m").select(
+        "source", "bucket_ts", "point_count", "value_sum", "value_min", "value_max"
+    )
+    got = got.select(*expected.columns)
+    # append mode emits a window only after the watermark passes its close —
+    # every emitted row must match batch exactly...
+    assert got.exceptAll(expected).count() == 0
+    # ...and the only rows still withheld are within the watermark horizon of
+    # the max event time (the not-yet-closed tail windows)
+    max_ts = tt.agg(F.max("event_ts")).collect()[0][0]
+    withheld = expected.exceptAll(got)
+    import datetime as dt
+
+    horizon = max_ts - dt.timedelta(minutes=2)  # watermark + one window
+    assert withheld.filter(F.col("bucket_ts") < F.lit(horizon)).count() == 0
+
+    # append NEWER rows (event times +1 day — not late) → the second drain
+    # closes the previous tail windows and emits the new ones
+    extra = (
+        token_table(spark, 500, with_tokens=False)
+        .withColumn("doc_id", F.concat(F.lit("z_"), "doc_id"))
+        .withColumn("event_ts", F.col("event_ts") + F.expr("interval 4 days"))
+    )
+    extra.write.mode("append").parquet(inp)
+    s2 = stream_rollup(spark, inp, schema, tier="1m", watermark="1 minute")
+    run_available_now(s2, ckpt, out)
+    got2 = spark.read.parquet(out).select(*expected.columns)
+    full = tt.unionByName(extra)
+    expected2 = rollup(full, "1m").select(*expected.columns)
+    assert got2.exceptAll(expected2).count() == 0
+    max_ts2 = full.agg(F.max("event_ts")).collect()[0][0]
+    horizon2 = max_ts2 - dt.timedelta(minutes=2)
+    withheld2 = expected2.exceptAll(got2)
+    assert withheld2.filter(F.col("bucket_ts") < F.lit(horizon2)).count() == 0
