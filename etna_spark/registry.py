@@ -318,3 +318,4 @@ def _load_extra_registries() -> None:
     Deferred to avoid a circular import at module load."""
     import etna_spark.registry_data  # noqa: F401
     import etna_spark.registry_ops  # noqa: F401
+    import etna_spark.registry_ops2  # noqa: F401
