@@ -29,6 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001 (SURVEY.md §7.1 slice):
     1m token rollup per source → gap-filled with forward-fill → 1h tier
     derived algebraically from the 1m tier."""
+    from etna_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     sf_dir = "/root/testdata/sf0.001"
     tt = doc_token_table(spark, sf_dir)
     r1m = rollup(tt, "1m", series_cols=("source",), ts_col="event_ts", value_col="n_tok")

@@ -303,9 +303,19 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _with_shipping(fn: SparkQuery) -> SparkQuery:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etna_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)  # pUDF kernels import etna_spark on executors
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, SparkQuery]:
     _load_extra_registries()
-    return {name: e.spark for name, e in REGISTRY.items()}
+    return {name: _with_shipping(e.spark) for name, e in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

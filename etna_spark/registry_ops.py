@@ -252,10 +252,10 @@ def q_time_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM series
 )
 SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts,
-  round(sin(2 * pi() * 1 * elapsed), 6) AS fourier_1,
-  round(sin(2 * pi() * 1 * elapsed + pi() / 2), 6) AS fourier_2,
-  round(sin(2 * pi() * 2 * elapsed), 6) AS fourier_3,
-  round(sin(2 * pi() * 2 * elapsed + pi() / 2), 6) AS fourier_4
+  round(sin(2 * pi() * 1 * elapsed), 6) + 0.0 AS fourier_1,
+  round(sin(2 * pi() * 1 * elapsed + pi() / 2), 6) + 0.0 AS fourier_2,
+  round(sin(2 * pi() * 2 * elapsed), 6) + 0.0 AS fourier_3,
+  round(sin(2 * pi() * 2 * elapsed + pi() / 2), 6) + 0.0 AS fourier_4
 FROM anchored
 """,
 )
@@ -269,7 +269,12 @@ def q_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         epoch(),
-        *[F.round(f"fourier_{m}", 6).alias(f"fourier_{m}") for m in (1, 2, 3, 4)],
+        # + 0.0 normalizes IEEE −0.0: sin(kπ) lands within an ulp of zero
+        # with engine-dependent SIGN, and a value-hash distinguishes the two
+        *[
+            (F.round(f"fourier_{m}", 6) + F.lit(0.0)).alias(f"fourier_{m}")
+            for m in (1, 2, 3, 4)
+        ],
     )
 
 

@@ -70,7 +70,8 @@ def compare_to_oracle(spark_df, ddb_con, sql: str, float_tol: float = 0.0):
             rf = rv.astype(float).to_numpy()
             both_nan = np.isnan(lf) & np.isnan(rf)
             if float_tol == 0.0:
-                ok = (lf == rf) | both_nan
+                # match a stringifying value-hash: -0.0 != 0.0 there
+                ok = ((lf == rf) & (np.signbit(lf) == np.signbit(rf))) | both_nan
             else:
                 ok = np.isclose(lf, rf, rtol=0, atol=float_tol) | both_nan
             assert ok.all(), (
