@@ -60,19 +60,28 @@ def _ensure_input(spark) -> None:
     path = _input_path()
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return
+    # time-clustered layout, like real ingest (appends arrive in event-time
+    # order): each scan task covers a narrow time slice, so map-side partial
+    # aggregation actually reduces and the rollup shuffle carries ~tier-size
+    # rows instead of ~input-size rows
     token_table(
         spark, N_TOKENS, n_sources=N_SOURCES, window_seconds=WINDOW_SECONDS,
         with_tokens=False, num_partitions=max(64, CPUS * 4),
-    ).write.mode("overwrite").parquet(path)
+    ).repartitionByRange(max(64, CPUS * 4), "event_ts").write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # split size: small enough that scan parallelism is never file-bound,
+    # large enough that driver-serial task scheduling stays negligible
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
     spark = get_spark(
         "etna-spark-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 8),
-        extra_conf={"spark.sql.files.maxPartitionBytes": "8m"},
+        extra_conf={"spark.sql.files.maxPartitionBytes": mpb},
     )
     spark.sparkContext.setLogLevel("ERROR")
     _ensure_input(spark)

@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 promises must
+actually appear in the plans (predicate pushdown, column pruning, broadcast
+joins, map-side partial aggregation, no Python in native paths)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etna_spark.operators.rollup import rollup
+from etna_spark.operators.spine import ffill, regularize
+
+from .conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    q = ev.filter(F.col("event_type") == "click").select("ts", "value")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reads_narrow_schema(spark):
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    q = ev.groupBy("event_type").agg(F.sum("value"))
+    plan = _plan(q)
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "value" in read_schema and "props" not in read_schema
+
+
+def test_rollup_has_partial_aggregation_and_no_python(spark):
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumnRenamed(
+        "event_type", "source"
+    )
+    r = rollup(ev, "1m", series_cols=("source",), ts_col="ts", value_col="value",
+               sum_is_exact=False)
+    plan = _plan(r)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WholeStageCodegen" in plan
+
+
+def test_small_dim_join_is_broadcast(spark):
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    supplier = spark.read.parquet(f"{SF_SMALL}/supplier.parquet")
+    q = (
+        lineitem.join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name").agg(F.sum("l_extendedprice"))
+    )
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_gapfill_chain_stays_jvm_side(spark):
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumnRenamed(
+        "event_type", "source"
+    )
+    r = rollup(ev, "1m", series_cols=("source",), ts_col="ts",
+               value_col="value", sum_is_exact=False)
+    filled = ffill(regularize(r, "1m", series_cols=("source",)), ["value_sum"],
+                   series_cols=("source",))
+    plan = _plan(filled)
+    assert "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
