@@ -1,0 +1,251 @@
+"""Final registry batch: distribution resampling, token-table gap-fill,
+strided imputation, and rows-only entries for the genuinely
+non-SQL-expressible operators (Gorilla round-trip, MinHash/SimHash LSH,
+hyperplane ANN, autoregressive imputation) — the driver records the weaker
+rows-only check for those, per the contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etna_spark.codec.gorilla import decode_series, encode_series
+from etna_spark.data.dedup import minhash_lsh_pairs, simhash_pairs
+from etna_spark.data.similarity import cosine_topk_lsh
+from etna_spark.operators.imputation import TimeSeriesImputer
+from etna_spark.operators.resample import ResampleWithDistribution
+from etna_spark.operators.rollup import rollup
+from etna_spark.operators.spine import ffill, regularize
+from etna_spark.operators.window_stats import window_stat
+from etna_spark.registry import epoch, register
+from etna_spark.registry_ops2 import _H_SERIES, _events_1h
+from etna_spark.sources.testdata import load_table
+from etna_spark.synth import DOC_TOKEN_SQL, doc_token_table
+
+
+# ---------------------------------------------------------------------------
+# ResampleWithDistributionTransform (resample.py:12-199): daily totals
+# distributed over the hourly grid by the learned hourly share.
+# ---------------------------------------------------------------------------
+
+@register(
+    "resample_distribution_1h",
+    _H_SERIES
+    + """
+, daily AS (
+  SELECT event_type, date_trunc('day', bucket_ts) AS d,
+         CAST(sum(value_cents) AS BIGINT) AS day_cents
+  FROM series GROUP BY 1, 2
+), grid AS (
+  SELECT s.event_type, s.bucket_ts, s.value_cents,
+    CASE WHEN hour(s.bucket_ts) = 0 THEN d.day_cents END AS daily_sparse
+  FROM series s LEFT JOIN daily d
+    ON s.event_type = d.event_type AND date_trunc('day', s.bucket_ts) = d.d
+), anchored AS (
+  SELECT *,
+    min(CASE WHEN daily_sparse IS NOT NULL THEN bucket_ts END)
+      OVER (PARTITION BY event_type) AS anchor
+  FROM grid
+), folded AS (
+  SELECT *,
+    CAST((epoch(bucket_ts) - epoch(anchor)) / 3600 AS BIGINT) % 24 AS fold
+  FROM anchored
+), dist AS (
+  SELECT event_type, fold,
+    CAST(sum(value_cents) AS BIGINT) AS fold_sum,
+    CAST(sum(sum(value_cents)) OVER (PARTITION BY event_type) AS BIGINT)
+      AS total_sum
+  FROM folded GROUP BY 1, 2
+)
+SELECT f.event_type, CAST(epoch(f.bucket_ts) AS BIGINT) AS bucket_ts,
+  round(
+    (last_value(f.daily_sparse IGNORE NULLS) OVER (
+       PARTITION BY f.event_type ORDER BY f.bucket_ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    * (CAST(d.fold_sum AS DOUBLE) / d.total_sum), 6) AS resampled
+FROM folded f JOIN dist d ON f.event_type = d.event_type AND f.fold = d.fold
+""",
+)
+def q_resample_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _events_1h(spark, sf_dir)
+    daily = (
+        s.groupBy(
+            F.col("event_type").alias("_et"),
+            F.date_trunc("day", "bucket_ts").alias("d"),
+        ).agg(F.sum("value_cents").alias("day_cents"))
+    )
+    grid = s.join(
+        daily,
+        on=(F.col("event_type") == F.col("_et"))
+        & (F.date_trunc("day", F.col("bucket_ts")) == F.col("d")),
+        how="left",
+    ).select(
+        "event_type",
+        "bucket_ts",
+        "value_cents",
+        F.when(F.hour("bucket_ts") == 0, F.col("day_cents"))
+        .cast("double")
+        .alias("daily_sparse"),
+    )
+    r = ResampleWithDistribution(
+        in_col="daily_sparse", distribution_col="value_cents", inplace=False,
+        out_col="resampled", series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit(grid)
+    out = r.transform(grid)
+    return out.select(
+        "event_type", epoch(), F.round("resampled", 6).alias("resampled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-table gap-fill (the north-star query on the primary input shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tok_gapfill_ffill_1m",
+    f"WITH tok AS ({DOC_TOKEN_SQL})"
+    + """
+, agg AS (
+  SELECT source, date_trunc('minute', event_ts) AS bucket_ts,
+         CAST(sum(n_tok) AS BIGINT) AS tok_sum
+  FROM tok GROUP BY 1, 2
+), bounds AS (SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg),
+spine AS (
+  SELECT s.source, g.bucket_ts
+  FROM (SELECT DISTINCT source FROM tok) s
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE))
+              AS bucket_ts FROM bounds) g
+)
+SELECT sp.source, CAST(epoch(sp.bucket_ts) AS BIGINT) AS bucket_ts,
+  last_value(a.tok_sum IGNORE NULLS) OVER (
+    PARTITION BY sp.source ORDER BY sp.bucket_ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_sum_ffill
+FROM spine sp LEFT JOIN agg a USING (source, bucket_ts)
+""",
+)
+def q_tok_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tt = doc_token_table(spark, sf_dir)
+    r1m = rollup(tt, "1m", series_cols=("source",), ts_col="event_ts",
+                 value_col="n_tok")
+    reg = regularize(
+        r1m.select("source", "bucket_ts", F.col("value_sum").alias("tok_sum_ffill")),
+        "1m", series_cols=("source",),
+    )
+    out = ffill(reg, ["tok_sum_ffill"], series_cols=("source",))
+    return out.select("source", epoch(), "tok_sum_ffill")
+
+
+# ---------------------------------------------------------------------------
+# strided (seasonal) operators — SQL twin cross-checks the numpy kernel
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_mean_seasonal_1h",
+    _H_SERIES
+    + """
+, lagged AS (
+  SELECT event_type, bucket_ts, value_cents,
+    lag(value_cents, 0) OVER w AS l0,
+    lag(value_cents, 24) OVER w AS l24,
+    lag(value_cents, 48) OVER w AS l48
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+)
+SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts,
+  round(CASE WHEN (l0 IS NOT NULL) OR (l24 IS NOT NULL) OR (l48 IS NOT NULL)
+    THEN (coalesce(l0, 0) + coalesce(l24, 0) + coalesce(l48, 0))
+         / CAST((CASE WHEN l0 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN l24 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN l48 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    ELSE 0.0 END, 6) AS seasonal_mean
+FROM lagged
+""",
+)
+def q_window_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowStatisticsTransform strided path (statistics.py:97-105):
+    window=3, seasonality=24 → points {t, t−24, t−48}, min_periods=1,
+    fillna=0 — exercised through the applyInPandas numpy kernel and
+    cross-checked against an explicit lag-based SQL expansion."""
+    s = _events_1h(spark, sf_dir).withColumn(
+        "vc", F.col("value_cents").cast("double")
+    )
+    out = window_stat(
+        s, "vc", "seasonal_mean", "mean", window=3, seasonality=24,
+        min_periods=1, fillna=0.0, series_cols=("event_type",),
+        ts_col="bucket_ts",
+    )
+    return out.select(
+        "event_type", epoch(), F.round("seasonal_mean", 6).alias("seasonal_mean")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible: sequential/autoregressive state,
+# bit-level codecs, hash-model candidates)
+# ---------------------------------------------------------------------------
+
+@register("gorilla_roundtrip", None)
+def q_gorilla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla encode→decode round-trip over the token 1m tier: one row per
+    series with points, bytes, and an exact-match flag vs the original."""
+    tt = doc_token_table(spark, sf_dir)
+    tier = rollup(tt, "1m", series_cols=("source",), ts_col="event_ts",
+                  value_col="n_tok").select(
+        "source", "bucket_ts", F.col("value_sum").cast("double").alias("v")
+    )
+    enc = encode_series(tier, series_cols=("source",), ts_col="bucket_ts",
+                        value_col="v")
+    dec = decode_series(enc, series_cols=("source",), ts_col="bucket_ts",
+                        value_col="v")
+    orig = tier.select(
+        "source", F.col("bucket_ts").cast("long").alias("bucket_ts"), "v"
+    )
+    match = (
+        orig.join(dec, on=["source", "bucket_ts"], how="full")
+        .withColumn("_ok", (orig["v"] == dec["v"]).cast("int"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_points"), F.min("_ok").alias("all_match"))
+    )
+    sizes = enc.groupBy("source").agg(
+        F.sum(F.length("codec_blob")).alias("codec_bytes")
+    )
+    return match.join(sizes, on="source")
+
+
+@register("dedup_minhash_lsh", None)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text",
+                             k=3, num_perm=16, bands=4, threshold=0.2)
+
+
+@register("dedup_simhash", None)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, id_col="doc_id", text_col="text",
+                         max_hamming=16, prefix_bits=8)
+
+
+@register("ann_cosine_lsh", None)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(queries, emb, k=5, n_planes=4, n_tables=4)
+
+
+@register("imputer_seasonal_autoregressive", None)
+def q_imputer_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """running seasonal imputation (imputation.py:233-242) — autoregressive,
+    inherently sequential per series → rows-only driver check; semantics
+    pinned by golden tests (tests/test_imputation.py)."""
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("v"),
+    )
+    reg = regularize(s, "1h", series_cols=("event_type",), ts_col="bucket_ts")
+    imp = TimeSeriesImputer(
+        strategy="seasonal", window=2, seasonality=24, in_col="v",
+        series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit(reg)
+    out = imp.transform(reg)
+    return out.select("event_type", epoch(), F.round("v", 6).alias("v"))

@@ -31,6 +31,12 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_gorilla_roundtrip_query_verifies(spark):
+    """rows-only for the driver, but locally the round-trip flag must hold"""
+    rows = REGISTRY["gorilla_roundtrip"].spark(spark, SF_DIR).collect()
+    assert rows and all(r["all_match"] == 1 for r in rows)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as ent
 
