@@ -41,7 +41,7 @@ from etna_spark.synth import token_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_TOKENS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "8000000"))
+N_TOKENS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "32000000"))
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/etna_bench_cache")
 N_SOURCES = 64
 WINDOW_SECONDS = 14 * 86400
