@@ -249,3 +249,75 @@ def q_imputer_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(reg)
     out = imp.transform(reg)
     return out.select("event_type", epoch(), F.round("v", 6).alias("v"))
+
+
+# ---------------------------------------------------------------------------
+# hierarchy rollup across series (customer → nation → region on the TPC-H
+# star schema): the reference's summing-matrix as a groupBy cascade
+# ---------------------------------------------------------------------------
+
+@register(
+    "hierarchy_rollup_region",
+    """
+WITH cust_day AS (
+  SELECT o_custkey, CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)
+           AS month_ts,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), nation_level AS (
+  SELECT c.c_nationkey AS nationkey, month_ts,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM cust_day JOIN customer c ON c.c_custkey = o_custkey
+  GROUP BY 1, 2
+)
+SELECT r.r_name AS region, month_ts, CAST(sum(cents) AS BIGINT) AS cents
+FROM nation_level
+JOIN nation n ON n.n_nationkey = nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2
+""",
+)
+def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_level_dataframe semantics (utils.py:292-359): leaf (customer)
+    series summed up a two-level tree (nation → region), each level derived
+    from the previous one via hierarchy_rollup."""
+    from etna_spark.operators.hierarchy import hierarchy_rollup
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    leaf = (
+        orders.withColumn("cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.date_trunc("month", "o_orderdate").cast("long").alias("month_ts"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    to_nation = customer.select(
+        F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nationkey")
+    )
+    nation_level = hierarchy_rollup(
+        leaf, to_nation, "custkey", "nationkey", ["cents"], ts_col="month_ts"
+    )
+    to_region = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("nationkey"), F.col("r_name").alias("region"))
+    region_level = hierarchy_rollup(
+        nation_level, to_region, "nationkey", "region", ["cents"], ts_col="month_ts"
+    )
+    return region_level.select("region", "month_ts", "cents")
+
+
+@register("ann_cosine_ivf", None)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (kmeans cells + probe): rows-only — the MLlib model is not
+    SQL-expressible; recall pinned vs brute force in pytest."""
+    from etna_spark.data.ivf import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(queries, emb, k=5, n_cells=8, n_probe=3)
