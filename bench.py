@@ -102,6 +102,11 @@ def main() -> None:
         "bkt", F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS))
     )
     tt.count()
+    # warm the full Arrow/applyInPandas codec path (first real pUDF exchange
+    # pays one-time serializer/JIT costs ~3-5s that are not workload)
+    _tiny = rollup(tt.limit(50_000), "1m", series_cols=("source", "bkt"))
+    encode_series(_tiny, series_cols=("source", "bkt"), ts_col="bucket_ts",
+                  value_col="value_sum").count()
 
     queries: dict[str, float] = {}
     t_all = time.time()
