@@ -18,6 +18,13 @@ swap the impl, keep the engine. (SURVEY.md §7.5 'Iceberg availability'.)
 
 Writes are atomic via write-temp-then-rename + a json swap, so a job killed
 mid-write never corrupts the table — the basis of the resume tests.
+
+Known divergence from Iceberg: ``overwrite_partitions`` retires replaced
+files from HISTORICAL snapshot entries too (the fallback keeps one file list
+per snapshot, not full manifests), so time-travel reads to pre-overwrite
+snapshots of tier tables are not supported — only the current view and the
+append-delta scan, which is all the engine uses. Input tables are
+append-only, so their full snapshot history stays readable.
 """
 
 from __future__ import annotations
