@@ -13,6 +13,11 @@ retention. Lineage + metrics land in <warehouse>/manifest.jsonl.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# runnable both via spark-submit --py-files and plain python from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import datetime as dt
 import json
 

@@ -11,6 +11,11 @@ safe) and appends them as one input snapshot.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# runnable both via spark-submit --py-files and plain python from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 
 from pyspark.sql import functions as F
