@@ -55,7 +55,11 @@ def _agg_exprs(value_col: str, sum_is_exact: bool) -> list[Column]:
         F.min(v).alias("value_min"),
         F.max(v).alias("value_max"),
         (
-            F.sum((v * v).cast("long")) if sum_is_exact else F.sum(v * v)
+            # widen BEFORE squaring: int32² overflows in the input type for
+            # |v| > 46340 and ANSI mode (on in this repo) raises at runtime
+            F.sum(v.cast("long") * v.cast("long"))
+            if sum_is_exact
+            else F.sum(v * v)
         ).alias("value_sumsq"),
     ]
 

@@ -168,8 +168,11 @@ class ParquetSnapshotTable:
         wanted = set(map(str, partition_values))
         retired = {f for f, parts in part_map.items() if parts & wanted}
         kept_snaps = [
+            # keep historical properties: latest_property() walks the whole
+            # log, so dropping them here would erase the tier watermark that
+            # _refresh_tier reads (double-apply hazard after retention)
             Snapshot(id=s.id, files=[f for f in s.files if f not in retired],
-                     wall_time=s.wall_time)
+                     wall_time=s.wall_time, properties=s.properties)
             for s in snaps
         ]
         new_id = (snaps[-1].id if snaps else 0) + 1
@@ -216,11 +219,19 @@ class ParquetSnapshotTable:
         snaps = self.snapshots()
         kept = [
             Snapshot(id=s.id, files=[f for f in s.files if f not in retired],
-                     wall_time=s.wall_time)
+                     wall_time=s.wall_time, properties=s.properties)
             for s in snaps
         ]
         new_id = (snaps[-1].id if snaps else 0) + 1
-        kept.append(Snapshot(id=new_id, files=[], wall_time=time.time()))
+        # carry the current watermark forward on the retention snapshot too,
+        # so even a log rewrite that trims history keeps the watermark visible
+        props = {}
+        for s in reversed(snaps):
+            if s.properties:
+                props = dict(s.properties)
+                break
+        kept.append(Snapshot(id=new_id, files=[], wall_time=time.time(),
+                             properties=props or None))
         self._write_log(kept)
         return new_id
 

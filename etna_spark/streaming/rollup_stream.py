@@ -49,6 +49,9 @@ def stream_rollup(
             F.sum(v.cast("long")).alias("value_sum"),
             F.min(v).alias("value_min"),
             F.max(v).alias("value_max"),
+            # full algebraic set (matches _agg_exprs) so this tier can feed
+            # the batch 1h/1d cascade, which references value_sumsq
+            F.sum(v.cast("long") * v.cast("long")).alias("value_sumsq"),
         )
         .select(
             *series_cols,
@@ -57,6 +60,7 @@ def stream_rollup(
             "value_sum",
             "value_min",
             "value_max",
+            "value_sumsq",
         )
     )
 

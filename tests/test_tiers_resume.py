@@ -131,6 +131,47 @@ def test_retention_expires_partitions(spark, tokens_df, tmp_path):
     assert eng.tier_df(spark, "1d").select("part_day").distinct().count() == len(days)
 
 
+def test_refresh_after_retention_no_double_count(spark, tokens_df, tmp_path):
+    """Retention must not erase the tier watermark (snapshot properties):
+    a refresh after expire sees only the NEW delta — no re-read of the whole
+    input, no sum-merge double-counting, no resurrection of expired days."""
+    eng = TierEngine(str(tmp_path / "wh"))
+    eng.input.append(tokens_df)
+    eng.refresh(spark)
+    days = sorted(
+        r[0] for r in eng.tier_df(spark, "1m").select("part_day").distinct().collect()
+    )
+    victims = eng.expire("1m", keep_days=1, now_day=days[-1])
+    assert victims  # something actually expired
+
+    # new data lands only in the surviving (latest) days
+    extra = (
+        token_table(spark, 500, with_tokens=False)
+        .withColumn("doc_id", F.concat(F.lit("y_"), "doc_id"))
+        .filter(F.date_format(F.date_trunc("minute", "event_ts"), "yyyy-MM-dd")
+                .isin(days[-2:]))
+    )
+    assert extra.count() > 0
+    eng.input.append(extra)
+    r = eng.refresh(spark)
+    assert not r["1m"]["skipped"]
+    # only surviving-day partitions were touched
+    assert set(r["1m"]["partitions"]) <= set(days[-2:])
+
+    got = eng.tier_df(spark, "1m")
+    # expired days stay expired
+    left = {x[0] for x in got.select("part_day").distinct().collect()}
+    assert left == set(days[-2:])
+    # surviving days match a clean recompute over the full input (no
+    # double-counted aggregates)
+    expected = (
+        rollup(tokens_df.unionByName(extra), "1m")
+        .withColumn("part_day", F.date_format("bucket_ts", "yyyy-MM-dd"))
+        .filter(F.col("part_day").isin(days[-2:]))
+    )
+    assert _tiers_equal(got.select(*expected.columns), expected)
+
+
 def test_token_arrays_flow_through_untouched(spark, tmp_path):
     """input_hint invariant: the tokens column is byte-identical end-to-end
     through catalog append/read (the engine never mutates it)."""
