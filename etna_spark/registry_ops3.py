@@ -321,3 +321,46 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_ivf(queries, emb, k=5, n_cells=8, n_probe=3)
+
+
+@register("stl_detrend_1h", None)
+def q_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STLTransform (reference decomposition/stl.py:25-270): numpy-STL +
+    ARIMA(1,1,0) trend model per series over the dense hourly event series
+    (period=24). LOESS is not DuckDB-expressible → rows-only; the entry is
+    SELF-VERIFYING like gorilla_roundtrip: per-series row with all_match=1
+    iff value == residual + season_trend within 1e-6 at every point, so the
+    driver's rows check pins reconstruction."""
+    from etna_spark.operators.stl import STLTransform
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("v"),
+    )
+    dense = ffill(
+        regularize(s, "1h", series_cols=("event_type",), ts_col="bucket_ts"),
+        ["v"], series_cols=("event_type",), ts_col="bucket_ts",
+    ).filter(F.col("v").isNotNull())
+    t = STLTransform(
+        period=24, model="arima", in_col="v",
+        series_cols=("event_type",), ts_col="bucket_ts", step_seconds=3600,
+    ).fit(dense)
+    resid = t.transform(dense).select(
+        "event_type", "bucket_ts", F.col("v").alias("resid")
+    )
+    back = t.inverse_transform(resid.withColumnRenamed("resid", "v"))
+    joined = dense.select("event_type", "bucket_ts", "v").join(
+        back.select(
+            "event_type", "bucket_ts", F.col("v").alias("v_back")
+        ),
+        on=["event_type", "bucket_ts"],
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_points"),
+        F.min(
+            (F.abs(F.col("v") - F.col("v_back")) < 1e-6).cast("int")
+        ).alias("all_match"),
+        F.round(F.stddev_pop("v") / F.stddev_pop("v_back"), 6).alias(
+            "stddev_ratio"
+        ),
+    )
