@@ -100,8 +100,324 @@ def _unzigzag(z: int) -> int:
 _U64 = np.uint64
 
 
+# -- vectorized bit machinery -------------------------------------------------
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount (numpy < 2 has no bitwise_count)."""
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & _M1)
+        x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+        x = (x + (x >> np.uint64(4))) & _M4
+        return (x * _H01) >> np.uint64(56)
+
+
+def _clz_u64(x: np.ndarray) -> np.ndarray:
+    """Count leading zeros via bit smearing + popcount (x==0 → 64)."""
+    s = x.copy()
+    for k in (1, 2, 4, 8, 16, 32):
+        s |= s >> np.uint64(k)
+    return np.uint64(64) - _popcount_u64(s)
+
+
+def _ctz_u64(x: np.ndarray) -> np.ndarray:
+    """Count trailing zeros (x==0 → 64)."""
+    with np.errstate(over="ignore"):
+        low = x & (np.uint64(0) - x)  # x & -x
+    return np.where(
+        x == 0, np.uint64(64), _popcount_u64(low - np.uint64(1))
+    ).astype(np.uint64)
+
+
+def _pack_tokens(tok_vals: np.ndarray, tok_bits: np.ndarray) -> bytes:
+    """Pack (value, width≤64) tokens MSB-first into bytes — the vectorized
+    equivalent of sequential _BitWriter.write calls (bit-identical output,
+    incl. zero-padding of the final byte).
+
+    Word-level algorithm, O(#tokens) not O(#bits): each token lands in at
+    most two 64-bit words; per-word OR-reduction of the (monotone) hi and lo
+    contribution streams via ``bitwise_or.reduceat``, then a single
+    big-endian dump (bit 0 of the stream = MSB of word 0)."""
+    # contract: 1 <= width <= 64 and every value fits its declared width
+    # (all emitters construct tokens that way)
+    v = tok_vals.astype(np.uint64, copy=False)
+    tok_bits = tok_bits.astype(np.int64, copy=False)
+    ends = np.cumsum(tok_bits)
+    total = int(ends[-1]) if len(ends) else 0
+    if total == 0:
+        return b""
+    offs = ends - tok_bits
+    r = offs & 63
+    w0 = offs >> 6
+    left = 64 - r - tok_bits                      # [-63, 63]
+    neg = left < 0
+    l_u = (left & 63).astype(np.uint64)           # == 64+left when neg
+    r_u = ((-left) & 63).astype(np.uint64)
+    hi = np.where(neg, v >> r_u, v << l_u)
+    lo = np.where(neg, v << l_u, np.uint64(0))
+
+    n_words = (total + 63) >> 6
+    words = np.zeros(n_words, dtype=np.uint64)
+    first = np.empty(1, dtype=bool)
+    first[0] = True
+    for idx, vals in ((w0, hi), (w0 + 1, lo)):
+        nz = vals != 0
+        if not nz.any():
+            continue
+        idx, vals = idx[nz], vals[nz]
+        starts = np.flatnonzero(
+            np.concatenate([first, idx[1:] != idx[:-1]])
+        )
+        red = np.bitwise_or.reduceat(vals, starts)
+        words[idx[starts]] |= red
+    raw = words.astype(">u8").tobytes()
+    return raw[: (total + 7) >> 3]
+
+
+def _zigzag_vec(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.int64, copy=False)
+    return ((x << 1) ^ (x >> 63)).view(np.uint64)
+
+
+def _merge_zero_tokens(
+    tv: np.ndarray, tb: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge runs of adjacent zero-VALUED tokens into ≤64-bit zero tokens —
+    bit-identical stream, far fewer tokens (repeated values / regular grids
+    emit long runs of 1-bit '0' tokens)."""
+    z = tv == 0
+    n = len(tv)
+    edge = np.empty(n, dtype=bool)
+    edge[0] = True
+    np.not_equal(z[1:], z[:-1], out=edge[1:])
+    s_idx = np.flatnonzero(z & edge)
+    if len(s_idx) == 0:
+        return tv, tb
+    end_edge = np.empty(n, dtype=bool)
+    end_edge[-1] = True
+    np.not_equal(z[:-1], z[1:], out=end_edge[:-1])
+    e_idx = np.flatnonzero(z & end_edge)
+    cs = np.cumsum(tb)
+    run_bits = cs[e_idx] - cs[s_idx] + tb[s_idx]
+    chunks = (run_bits + 63) >> 6
+    counts = (~z).astype(np.int64)
+    counts[s_idx] = chunks
+    pos = np.cumsum(counts) - counts
+    m = int(pos[-1] + counts[-1])
+    out_v = np.zeros(m, dtype=np.uint64)
+    out_b = np.full(m, 64, dtype=np.int64)
+    nzm = ~z
+    out_v[pos[nzm]] = tv[nzm]
+    out_b[pos[nzm]] = tb[nzm]
+    out_b[pos[s_idx] + chunks - 1] = run_bits - ((chunks - 1) << 6)
+    return out_v, out_b
+
+
 def encode_chunk(timestamps: np.ndarray, values: np.ndarray) -> bytes:
-    """Encode one sorted chunk: int64 seconds + float64 values."""
+    """Encode one sorted chunk (vectorized): int64 seconds + float64 values.
+
+    Emits the exact bitstream of :func:`encode_chunk_ref` — DoD classes are
+    merged control+payload tokens, XOR window-reuse decisions run in a thin
+    scalar loop over precomputed lead/trail arrays, and all bit emission is
+    one vectorized pack (tests pin bit-identity against the reference
+    implementation)."""
+    ts = np.asarray(timestamps, dtype=np.int64)
+    vals = np.asarray(values, dtype=np.float64)
+    n = len(ts)
+    tv: list[np.ndarray] = [np.array([n], dtype=np.uint64)]
+    tb: list[np.ndarray] = [np.array([32], dtype=np.int64)]
+    if n == 0:
+        return _pack_tokens(np.concatenate(tv), np.concatenate(tb))
+
+    tv.append(ts[:1].view(np.uint64))
+    tb.append(np.array([64], dtype=np.int64))
+    if n > 1:
+        deltas = np.diff(ts)
+        tv.append(_zigzag_vec(deltas[:1]))
+        tb.append(np.array([64], dtype=np.int64))
+        if n > 2:
+            dod = np.diff(deltas)
+            c0 = dod == 0
+            c1 = ~c0 & (dod >= -63) & (dod <= 64)
+            c2 = ~c0 & ~c1 & (dod >= -255) & (dod <= 256)
+            c3 = ~c0 & ~c1 & ~c2 & (dod >= -2047) & (dod <= 2048)
+            c4 = ~(c0 | c1 | c2 | c3)
+            tok1 = np.select(
+                [c0, c1, c2, c3],
+                [
+                    np.zeros_like(dod),
+                    (0b10 << 7) | (dod + 63),
+                    (0b110 << 9) | (dod + 255),
+                    (0b1110 << 12) | (dod + 2047),
+                ],
+                default=np.full_like(dod, 0b1111),
+            ).view(np.uint64)
+            bits1 = np.select(
+                [c0, c1, c2, c3], [1, 9, 12, 16], default=4
+            ).astype(np.int64)
+            # run-merge the dominant '0' class: a run of k one-bit zeros is
+            # one k-bit zero token (identical bits) — on a regular grid this
+            # collapses the whole timestamp stream to a handful of tokens
+            edge = np.empty(len(dod), dtype=bool)
+            edge[0] = True
+            np.not_equal(c0[1:], c0[:-1], out=edge[1:])
+            run_start = c0 & edge
+            if run_start.any():
+                s_idx = np.flatnonzero(run_start)
+                end_edge = np.empty(len(dod), dtype=bool)
+                end_edge[-1] = True
+                np.not_equal(c0[:-1], c0[1:], out=end_edge[:-1])
+                e_idx = np.flatnonzero(c0 & end_edge)
+                run_len = e_idx - s_idx + 1                   # bits per run
+                chunks = (run_len + 63) >> 6
+                counts = np.where(c4, 2, np.where(c0, 0, 1)).astype(np.int64)
+                counts[s_idx] = chunks
+                pos1 = np.cumsum(counts) - counts
+                m = int(pos1[-1] + counts[-1]) if len(counts) else 0
+                out_v = np.zeros(m, dtype=np.uint64)
+                out_b = np.full(m, 64, dtype=np.int64)        # zero chunks
+                non0 = ~c0
+                out_v[pos1[non0]] = tok1[non0]
+                out_b[pos1[non0]] = bits1[non0]
+                if c4.any():
+                    out_v[pos1[c4] + 1] = _zigzag_vec(dod[c4])
+                    out_b[pos1[c4] + 1] = 64
+                # last chunk of each zero run gets the remainder width
+                out_b[pos1[s_idx] + chunks - 1] = run_len - ((chunks - 1) << 6)
+                tv.append(out_v)
+                tb.append(out_b)
+            elif c4.any():
+                # interleave the 64-bit zigzag payload after each escape
+                counts = np.where(c4, 2, 1)
+                pos1 = np.cumsum(counts) - counts
+                m = int(counts.sum())
+                out_v = np.empty(m, dtype=np.uint64)
+                out_b = np.empty(m, dtype=np.int64)
+                out_v[pos1] = tok1
+                out_b[pos1] = bits1
+                out_v[pos1[c4] + 1] = _zigzag_vec(dod[c4])
+                out_b[pos1[c4] + 1] = 64
+                tv.append(out_v)
+                tb.append(out_b)
+            else:
+                tv.append(tok1)
+                tb.append(bits1)
+
+    bits = vals.view(_U64)
+    tv.append(bits[:1])
+    tb.append(np.array([64], dtype=np.int64))
+    if n > 1:
+        xors = np.bitwise_xor(bits[1:], bits[:-1])
+        lead_a = np.minimum(_clz_u64(xors), np.uint64(31)).astype(np.int64)
+        trail_a = np.minimum(_ctz_u64(xors), np.uint64(63)).astype(np.int64)
+        mlen_a = 64 - lead_a - trail_a
+        m = len(xors)
+        nonzero = xors != 0
+        # The (prev_lead, prev_len) window state is piecewise-constant and
+        # changes RARELY on real data (the reuse class dominates): iterate
+        # over window CHANGES, not points — each change point is found with
+        # a vectorized scan for the first xor that does not fit the current
+        # window. Worst case (adversarial data changing the window every
+        # point) degrades to O(changes·m); cap it and fall back to the
+        # scalar loop there.
+        win_lead = np.zeros(m, dtype=np.int64)
+        win_len = np.zeros(m, dtype=np.int64)
+        is_new = np.zeros(m, dtype=bool)
+        nz_idx = np.flatnonzero(nonzero)
+        changes = 0
+        ok_cache: np.ndarray | None = None
+        i = int(nz_idx[0]) if len(nz_idx) else m
+        max_changes = 4096
+        while i < m and changes <= max_changes:
+            L = int(lead_a[i])
+            M = int(mlen_a[i])
+            is_new[i] = True
+            changes += 1
+            viol = nonzero & (
+                (lead_a < L) | (trail_a < np.int64(64 - L - M))
+            )
+            viol[: i + 1] = False
+            j = int(np.argmax(viol)) if viol.any() else m
+            win_lead[i:j] = L
+            win_len[i:j] = M
+            i = j
+        if i < m:  # pathological fallback: finish with the scalar loop
+            prev_lead, prev_len = int(win_lead[i - 1]), int(win_len[i - 1])
+            for k in range(i, m):
+                if not nonzero[k]:
+                    continue
+                lead, trail, mlen = int(lead_a[k]), int(trail_a[k]), int(mlen_a[k])
+                if lead >= prev_lead and trail >= 64 - prev_lead - prev_len:
+                    win_lead[k], win_len[k] = prev_lead, prev_len
+                else:
+                    is_new[k] = True
+                    prev_lead, prev_len = lead, mlen
+                    win_lead[k], win_len[k] = lead, mlen
+            win_lead[i:][~nonzero[i:]] = 0
+
+        # vectorized token emission: control token (+ payload token when the
+        # pair exceeds 64 bits) per xor
+        ctrl_v = np.zeros(m, dtype=np.uint64)
+        ctrl_b = np.ones(m, dtype=np.int64)          # zero-xor: '0' (1 bit)
+        pay_v = np.zeros(m, dtype=np.uint64)
+        pay_b = np.zeros(m, dtype=np.int64)
+
+        reuse = nonzero & ~is_new
+        if reuse.any():
+            Mr = win_len[reuse]
+            shift = (64 - win_lead[reuse] - Mr).astype(np.uint64)
+            payload = xors[reuse] >> shift
+            small = Mr <= 62
+            cv = np.where(
+                small,
+                (np.uint64(0b10) << Mr.astype(np.uint64)) | payload,
+                np.uint64(0b10),
+            )
+            cb = np.where(small, Mr + 2, 2)
+            ctrl_v[reuse] = cv
+            ctrl_b[reuse] = cb
+            pv = np.where(small, np.uint64(0), payload)
+            pb = np.where(small, 0, Mr)
+            pay_v[reuse] = pv
+            pay_b[reuse] = pb
+        if is_new.any():
+            Mn = mlen_a[is_new]
+            ctrl13 = (
+                np.uint64(0b11 << 11)
+                | (lead_a[is_new].astype(np.uint64) << np.uint64(6))
+                | (Mn - 1).astype(np.uint64)
+            )
+            payload = xors[is_new] >> trail_a[is_new].astype(np.uint64)
+            small = Mn <= 51
+            cv = np.where(
+                small, (ctrl13 << Mn.astype(np.uint64)) | payload, ctrl13
+            )
+            cb = np.where(small, Mn + 13, 13)
+            ctrl_v[is_new] = cv
+            ctrl_b[is_new] = cb
+            pay_v[is_new] = np.where(small, np.uint64(0), payload)
+            pay_b[is_new] = np.where(small, 0, Mn)
+
+        inter_v = np.stack([ctrl_v, pay_v], axis=1).reshape(-1)
+        inter_b = np.stack([ctrl_b, pay_b], axis=1).reshape(-1)
+        keep = inter_b > 0
+        tv.append(inter_v[keep])
+        tb.append(inter_b[keep])
+    all_v = np.concatenate(tv)
+    all_b = np.concatenate(tb)
+    if int((all_v == 0).sum()) > len(all_v) >> 3:
+        all_v, all_b = _merge_zero_tokens(all_v, all_b)
+    return _pack_tokens(all_v, all_b)
+
+
+def encode_chunk_ref(timestamps: np.ndarray, values: np.ndarray) -> bytes:
+    """Reference scalar encoder (the round-1 implementation) — kept as the
+    bit-identity oracle for the vectorized encoder."""
     ts = np.asarray(timestamps, dtype=np.int64)
     vals = np.asarray(values, dtype=np.float64)
     n = len(ts)

@@ -87,18 +87,28 @@ def compute_metrics(
     exprs = [metric_expr(m, true_col, pred_col).alias(m) for m in simple]
     out = df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
     if "max_deviation" in metrics:
-        w = (
-            Window.partitionBy(*keys).orderBy(ts_col)
-            if keys
-            else Window.orderBy(ts_col)
-        ).rowsBetween(Window.unboundedPreceding, 0)
-        prefix = df.withColumn(
-            "_dev", F.sum(F.col(pred_col) - F.col(true_col)).over(w)
-        )
-        md = (
-            prefix.groupBy(*keys).agg(F.max(F.abs("_dev")).alias("max_deviation"))
-            if keys
-            else prefix.agg(F.max(F.abs("_dev")).alias("max_deviation"))
-        )
-        out = out.join(md, on=keys) if keys else out.crossJoin(md)
+        if keys:
+            w = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            prefix = df.withColumn(
+                "_dev", F.sum(F.col(pred_col) - F.col(true_col)).over(w)
+            )
+            md = prefix.groupBy(*keys).agg(
+                F.max(F.abs("_dev")).alias("max_deviation")
+            )
+            out = out.join(md, on=keys)
+        else:
+            # macro: a global row-window would drag every row into ONE task.
+            # Pre-aggregate the deviation per timestamp (distributed), prefix
+            # over the tiny per-ts frame instead — same boundary values (the
+            # intra-timestamp order is undefined anyway).
+            per_ts = df.groupBy(ts_col).agg(
+                F.sum(F.col(pred_col) - F.col(true_col)).alias("_d")
+            )
+            w = Window.orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+            md = per_ts.withColumn("_dev", F.sum("_d").over(w)).agg(
+                F.max(F.abs("_dev")).alias("max_deviation")
+            )
+            out = out.crossJoin(md)
     return out

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etna_spark.plans.state import materialize
+
 
 class LinearTrend:
     def __init__(
@@ -63,9 +65,7 @@ class LinearTrend:
             (F.col("my") - F.when(F.col("vx") > 0, F.col("cxy") / F.col("vx"))
              .otherwise(F.lit(0.0)) * F.col("mx")).alias("intercept"),
         )
-        self._fit_params = df.sparkSession.createDataFrame(
-            params.collect(), params.schema
-        )
+        self._fit_params = materialize(params)
         return self
 
     def _trend(self) -> F.Column:
@@ -125,9 +125,7 @@ class TheilSenTrend(LinearTrend):
             + ["slope double", "intercept double"]
         )
         params = df.groupBy(*keys).applyInPandas(kern, schema)
-        self._fit_params = df.sparkSession.createDataFrame(
-            params.collect(), params.schema
-        )
+        self._fit_params = materialize(params)
         return self
 
 
@@ -163,7 +161,7 @@ class Deseasonality:
         means = j.groupBy(*keys, "_anchor", "_phase").agg(
             F.avg(self.in_col).alias("_seasonal")
         )
-        self._state = df.sparkSession.createDataFrame(means.collect(), means.schema)
+        self._state = materialize(means)
         return self
 
     def _joined(self, df: DataFrame) -> DataFrame:

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etna_spark.plans.state import materialize
+
 
 class Differencing:
     def __init__(
@@ -121,15 +123,11 @@ class Differencing:
         s = seeds[0]
         for extra in seeds[1:]:
             s = s.unionByName(extra)
-        # Materialize the (tiny) fitted state: breaks lineage against the
-        # input (avoids ambiguous self-joins at inverse time) and makes the
-        # state a plain local table — the same thing the manifest persists
-        # for checkpoint/resume.
-        spark = df.sparkSession
-        self._seeds = spark.createDataFrame(s.collect(), s.schema)
-        self._bounds = spark.createDataFrame(
-            self._bounds.collect(), self._bounds.schema
-        )
+        # Materialize the fitted state executor-side: localCheckpoint
+        # truncates lineage against the input (no ambiguous self-joins at
+        # inverse time) without a driver round-trip.
+        self._seeds = materialize(s)
+        self._bounds = materialize(self._bounds)
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:

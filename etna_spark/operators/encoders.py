@@ -33,6 +33,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etna_spark.plans.state import materialize
+
 _NULL_TOKEN = "\x00__null__"
 
 
@@ -78,8 +80,8 @@ class MeanEncoder:
             if keys
             else df.agg(F.avg(t).alias("_global_mean"))
         )
-        self._cat_means = spark.createDataFrame(cm.collect(), cm.schema)
-        self._global_means = spark.createDataFrame(gm.collect(), gm.schema)
+        self._cat_means = materialize(cm)
+        self._global_means = materialize(gm)
         self._last_ts = df.agg(F.max(self.ts_col)).collect()[0][0]
         return self
 
@@ -103,20 +105,50 @@ class MeanEncoder:
                 .orderBy(ts)
                 .rowsBetween(Window.unboundedPreceding, -1)
             )
+            base = (
+                base.withColumn("_run_mean", F.avg(t).over(w_run))
+                .withColumn("_cumsum", F.sum(t).over(w_cat))
+                .withColumn("_cumcount", F.count(t).over(w_cat))
+            )
         else:
-            # macro: exclude the whole current timestamp (all segments)
-            o = F.col(ts).cast("long")
-            w_run = Window.orderBy(o).rangeBetween(Window.unboundedPreceding, -1)
-            w_cat = (
+            # macro excludes the whole current timestamp (all segments). A
+            # global rangeBetween window would pull EVERY row into one task;
+            # instead pre-aggregate per timestamp (distributed), run the
+            # prefix window over the tiny per-ts frame, and join back —
+            # identical values because the exclusion boundary is the
+            # timestamp itself.
+            per_ts = base.groupBy(ts).agg(
+                F.sum(t).alias("_s"), F.count(t).alias("_c")
+            )
+            w_ts = Window.orderBy(ts).rowsBetween(Window.unboundedPreceding, -1)
+            run = per_ts.select(
+                ts,
+                (F.sum("_s").over(w_ts) / F.sum("_c").over(w_ts)).alias(
+                    "_run_mean"
+                ),
+            )
+            per_cat_ts = base.groupBy("_cat", ts).agg(
+                F.sum(t).alias("_s"), F.count(t).alias("_c")
+            )
+            w_cat_ts = (
                 Window.partitionBy("_cat")
-                .orderBy(o)
-                .rangeBetween(Window.unboundedPreceding, -1)
+                .orderBy(ts)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            catrun = per_cat_ts.select(
+                "_cat", ts,
+                F.sum("_s").over(w_cat_ts).alias("_cumsum"),
+                F.coalesce(F.sum("_c").over(w_cat_ts), F.lit(0)).alias(
+                    "_cumcount"
+                ),
+            )
+            base = base.join(run, on=ts, how="left").join(
+                catrun, on=["_cat", ts], how="left"
             )
 
-        running_mean = F.avg(t).over(w_run)
-        cumsum = F.sum(t).over(w_cat)
-        cumcount = F.count(t).over(w_cat)
-        cumsum = F.when(cumcount > 0, cumsum)  # no previous valid → null
+        running_mean = F.col("_run_mean")
+        cumcount = F.col("_cumcount")
+        cumsum = F.when(cumcount > 0, F.col("_cumsum"))  # no previous valid → null
         cumcount_n = F.when(cumcount > 0, cumcount)
         feature = (cumsum + running_mean * F.lit(self.smoothing)) / (
             cumcount_n + F.lit(self.smoothing)
@@ -143,7 +175,10 @@ class MeanEncoder:
                 feature
             ),
         )
-        return out.drop("_cat", "_cat_mean", "_global_mean")
+        return out.drop(
+            "_cat", "_cat_mean", "_global_mean", "_run_mean", "_cumsum",
+            "_cumcount",
+        )
 
 
 def mean_segment_encoder(
@@ -185,7 +220,7 @@ class LabelEncoder:
                 (F.dense_rank().over(Window.orderBy("_val")) - 1).cast("double"),
             )
         )
-        self._mapping = df.sparkSession.createDataFrame(m.collect(), m.schema)
+        self._mapping = materialize(m)
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -229,7 +264,7 @@ class SegmentEncoder:
                 ),
             )
         )
-        self._mapping = df.sparkSession.createDataFrame(m.collect(), m.schema)
+        self._mapping = materialize(m)
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etna_spark.operators.window_stats import window_stat
+from etna_spark.plans.state import materialize
 
 
 def detect_outliers_median(
@@ -346,9 +347,7 @@ class PointOutliersTransform:
             *self.series_cols, self.ts_col,
             F.col(self.in_col).alias("_orig_value"),
         )
-        self._outliers = df.sparkSession.createDataFrame(
-            saved.collect(), saved.schema
-        )
+        self._outliers = materialize(saved)
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:

@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etna_spark.plans.state import materialize
+
 
 class ResampleWithDistribution:
     def __init__(
@@ -97,27 +99,23 @@ class ResampleWithDistribution:
                 F.count("*").alias("_n"),
             )
         )
-        rows = firsts.collect()
-        if any(r["_n"] <= 1 for r in rows):
+        # validate + derive fold counts DISTRIBUTED (a driver loop over
+        # per-series rows caps the engine at driver-memory series counts)
+        coarse = F.col("_second_ts").cast("long") - F.col("_anchor_ts").cast("long")
+        anchors = firsts.select(
+            *keys, "_anchor_ts",
+            F.when(
+                (F.col("_n") > 1) & (coarse > 0) & (coarse % step == 0),
+                (coarse / step).cast("long"),
+            ).alias("_n_folds"),
+        )
+        anchors = materialize(anchors)
+        if anchors.filter(F.col("_n_folds").isNull()).limit(1).count() > 0:
             raise ValueError(
                 "Can not infer in_column frequency! "
                 "Check that in_column frequency is compatible with dataset frequency."
             )
-        anchors = []
-        for r in rows:
-            coarse = int(
-                (r["_second_ts"] - r["_anchor_ts"]).total_seconds()
-            )
-            if coarse % step != 0 or coarse == 0:
-                raise ValueError(
-                    "Can not infer in_column frequency! "
-                    "Check that in_column frequency is compatible with dataset frequency."
-                )
-            anchors.append((*[r[k] for k in keys], r["_anchor_ts"], coarse // step))
-        spark = df.sparkSession
-        self._anchors = spark.createDataFrame(
-            anchors, [*keys, "_anchor_ts", "_n_folds"]
-        )
+        self._anchors = anchors
 
         folded = self._with_folds(df)
         dist = folded.groupBy(*keys, "_fold").agg(
@@ -127,9 +125,7 @@ class ResampleWithDistribution:
         dist = dist.withColumn(
             "_distribution", F.col("_fold_sum") / F.sum("_fold_sum").over(total)
         ).select(*keys, "_fold", "_distribution")
-        self._distribution = spark.createDataFrame(
-            dist.collect(), dist.schema
-        )
+        self._distribution = materialize(dist)
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:

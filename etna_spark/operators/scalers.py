@@ -27,6 +27,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etna_spark.plans.state import materialize
+
 KINDS = ("standard", "minmax", "maxabs", "robust")
 
 
@@ -78,7 +80,7 @@ class Scaler:
         ]
         keys = self._keys()
         stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-        self._stats = df.sparkSession.createDataFrame(stats.collect(), stats.schema)
+        self._stats = materialize(stats)
         return self
 
     def _join_stats(self, df: DataFrame) -> DataFrame:

@@ -111,3 +111,33 @@ def test_dataframe_encode_decode(spark):
     assert len(orig) == len(got)
     for k, v in orig.items():
         assert got[k] == v, k
+
+
+def test_vectorized_encoder_bit_identical_to_reference():
+    """The vectorized encoder must emit the exact bitstream of the scalar
+    reference implementation (format pin, incl. zero-run merges and the
+    window-change fast path)."""
+    import numpy as np
+
+    from etna_spark.codec.gorilla import encode_chunk, encode_chunk_ref
+
+    rng = np.random.default_rng(42)
+    for trial in range(25):
+        n = int(rng.integers(0, 400))
+        ts = np.cumsum(
+            rng.choice([0, 1, 60, 60, 3600, 86400 * 400, 2**34], size=n)
+        ).astype(np.int64)
+        kind = trial % 4
+        if kind == 0:
+            vals = rng.choice([1.0, 2.0, 2.0, np.nan, np.inf, -0.0], size=n)
+        elif kind == 1:
+            vals = np.round(rng.normal(100, 5, n), 2)
+        elif kind == 2:
+            vals = np.resize(np.repeat(rng.normal(0, 1, max(n // 5, 1)), 5), n)
+        else:  # adversarial: forces window changes every point (fallback path)
+            vals = np.where(
+                np.arange(n) % 2 == 0, rng.normal(0, 1, n), rng.normal(0, 1e300, n)
+            )
+        assert encode_chunk(ts, vals) == encode_chunk_ref(ts, vals), (
+            f"trial {trial} kind {kind} n {n}"
+        )

@@ -68,3 +68,46 @@ def test_gapfill_chain_stays_jvm_side(spark):
     plan = _plan(filled)
     assert "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_macro_mode_has_no_unpartitioned_full_row_window(spark):
+    """Macro-mode encoder/metrics must not run a window over ALL raw rows in
+    one task: global-order windows are allowed only over per-timestamp
+    pre-aggregates, so their window expressions consume aggregated columns
+    (sum(_s)/sum(_c) / _d), never the raw target directly."""
+    import datetime as dt
+
+    from etna_spark.functions.metrics import compute_metrics
+    from etna_spark.operators.encoders import MeanEncoder
+
+    rows = [
+        ("s%d" % (i % 5), dt.datetime(2021, 1, 1) + dt.timedelta(hours=i // 5),
+         "c%d" % (i % 3), float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, ts timestamp, cat string, value double"
+    )
+    enc = MeanEncoder(
+        in_col="cat", out_col="enc", target_col="value", mode="macro",
+        series_cols=("series",), ts_col="ts",
+    ).fit(df)
+    import re
+
+    plan = _plan(enc.transform(df))
+    assert re.search(r"sum\(_s#\d+\) windowspecdefinition", plan)
+    assert "HashAggregate" in plan
+    # no window aggregates the raw value column (that would be the one-task
+    # full-row window this test guards against)
+    assert not re.search(r"sum\(value#\d+\) windowspecdefinition", plan)
+
+    m = compute_metrics(
+        df.withColumn("prediction", F.col("value") + 1),
+        true_col="value", pred_col="prediction",
+        metrics=("mae", "max_deviation"), mode="macro",
+        series_cols=("series",), ts_col="ts",
+    )
+    plan2 = _plan(m)
+    assert re.search(r"sum\(_d#\d+\) windowspecdefinition", plan2)
+    assert "HashAggregate" in plan2
+    assert not re.search(r"sum\(\(prediction#\d+ - value#\d+\)\) windowspecdefinition", plan2)
