@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etna_spark.data.text import HASH_MOD, word_code, words
+from etna_spark.data.text import HASH_MOD, word_code, word_hash61, words
 
 # LCG-ish mixing constants for the MinHash permutation family
 _PERM_A = 1103515245
@@ -190,10 +190,12 @@ def minhash_lsh_pairs(
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash over word hashes.
 
-    For each bit j, sum ±1 over the words' polynomial hashes; bit j of the
-    result is 1 when the sum is positive. Vectorized as a 64-element
-    higher-order-function reduction (no Python)."""
-    w_hashes = F.transform(words(text_col), lambda w: F.xxhash64(w))
+    For each bit j, sum ±1 over the words' hashes; bit j of the result is 1
+    when the sum is positive. Vectorized as a 64-element higher-order-
+    function reduction (no Python). Word hashes use the arithmetic
+    ``word_hash61`` family so a DuckDB oracle reproduces the exact value
+    (xxhash64 is a drop-in at scale; plan shape identical)."""
+    w_hashes = F.transform(words(text_col), lambda w: word_hash61(w))
 
     def bit_vote(j: int):
         # closure (not a default arg: pyspark's lambda introspection counts
@@ -205,7 +207,9 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     sim = F.lit(0).cast("long")
     for j in range(64):  # static bit index → plain shift expressions
         s_j = F.aggregate(w_hashes, F.lit(0).cast("long"), bit_vote(j))
-        sim = sim * 2 + (s_j > 0).cast("long")
+        # bitwise assembly: `sim*2 + bit` ARITHMETIC_OVERFLOWs under ANSI
+        # once bit 63 (the j=0 vote) is set
+        sim = sim.bitwiseOR(F.shiftleft((s_j > 0).cast("long"), 63 - j))
     return df.select(id_col, sim.alias("simhash"))
 
 
@@ -215,21 +219,39 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     prefix_bits: int = 16,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming; candidates
-    bucketed by the top ``prefix_bits`` bits (a 1-table LSH — multi-table
-    rotation is the same plan repeated)."""
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidates come from ``n_tables`` LSH tables, table t bucketing on the
+    disjoint ``prefix_bits``-bit slice starting at bit 64−(t+1)·prefix —
+    multi-table rotation recovers pairs whose differing bits happen to fall
+    in any single table's slice (recall → 1 as tables cover the word)."""
+    if n_tables * prefix_bits > 64:
+        raise ValueError("n_tables * prefix_bits must be <= 64")
     s = simhash64(df, id_col, text_col)
-    bucketed = s.withColumn(
-        "_bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
-    )
-    a = bucketed.select(F.col(id_col).alias("id_a"),
-                        F.col("simhash").alias("h_a"), "_bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"),
-                        F.col("simhash").alias("h_b"), "_bucket")
+    mask = (1 << prefix_bits) - 1
+    slices = F.array(*[
+        F.struct(
+            F.lit(t).alias("_t"),
+            F.shiftrightunsigned("simhash", 64 - prefix_bits * (t + 1))
+            .bitwiseAND(F.lit(mask)).alias("_bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    tables = s.select(
+        id_col, "simhash", F.explode(slices).alias("_tb")
+    ).select(id_col, "simhash", F.col("_tb._t").alias("_t"),
+             F.col("_tb._bucket").alias("_bucket"))
+    a = tables.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("h_a"), "_t", "_bucket")
+    b = tables.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("h_b"), "_t", "_bucket")
     return (
-        a.join(b, on="_bucket")
+        a.join(b, on=["_t", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -111,6 +111,23 @@ def word_code(w: Column) -> Column:
     return F.ascii(w) * F.length(w)
 
 
+def word_hash61(w: Column) -> Column:
+    """61-bit arithmetic word hash: two codepoint polynomial hashes packed
+    as h1·2³¹ + h2 — oracle-expressible (DuckDB: string_split(w,'') +
+    unicode + list_reduce with the same constants), well-mixed low bits for
+    SimHash voting, no overflow under ANSI (max < 2⁶¹)."""
+    cps = F.transform(F.split(w, ""), lambda ch: F.ascii(ch))
+    h1 = F.aggregate(
+        cps, F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 131 + x, F.lit(1000000007)),
+    )
+    h2 = F.aggregate(
+        cps, F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 137 + x, F.lit(998244353)),
+    )
+    return h1 * F.lit(2147483648) + h2
+
+
 def fingerprint(text: str | Column) -> Column:
     """Order-sensitive polynomial rolling hash of the word sequence."""
     return F.aggregate(

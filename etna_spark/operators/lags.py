@@ -58,3 +58,129 @@ def exog_shift(
     for c in cols:
         out = out.withColumn(f"{c}_shift_{horizon}", F.lag(c, horizon).over(w)).drop(c)
     return out
+
+
+class ExogShiftAuto:
+    """ExogShiftTransform(lag='auto') (reference lags.py:112-313): per exog
+    column, estimate the minimal forward shift that makes the column fully
+    known over a ``horizon``-step forecast:
+
+        delta = steps(last ts where the column is non-null in EVERY series
+                      → last ts of the dataset)
+        shift = max(0, delta + horizon)
+
+    Fit computes one distributed aggregation (per-ts all-non-null flags →
+    per-column last covered ts); the resulting shift dict is a handful of
+    scalars. Transform applies ``F.lag(col, shift)`` renaming ``c`` →
+    ``c_shift_{k}`` for k>0 (columns already covering the horizon stay
+    unshifted, like the reference)."""
+
+    def __init__(
+        self,
+        cols: Sequence[str],
+        horizon: int,
+        step_seconds: int = 3600,
+        series_cols: Sequence[str] = ("series",),
+        ts_col: str = "ts",
+    ):
+        if horizon < 1:
+            raise ValueError(
+                f"ExogShiftAuto works only with positive horizon values, "
+                f"{horizon} given"
+            )
+        self.cols = list(cols)
+        self.horizon = horizon
+        self.step_seconds = step_seconds
+        self.series_cols = list(series_cols)
+        self.ts_col = ts_col
+        self.shifts: dict[str, int] | None = None
+
+    def fit(self, df: DataFrame) -> "ExogShiftAuto":
+        ts = self.ts_col
+        per_ts = df.groupBy(ts).agg(
+            *[
+                F.min(F.col(c).isNotNull().cast("int")).alias(c)
+                for c in self.cols
+            ]
+        )
+        row = per_ts.agg(
+            F.max(F.col(ts).cast("long")).alias("_last"),
+            *[
+                F.max(F.when(F.col(c) == 1, F.col(ts).cast("long"))).alias(c)
+                for c in self.cols
+            ],
+        ).collect()[0]
+        last = row["_last"]
+        self.shifts = {}
+        for c in self.cols:
+            feat_last = row[c]
+            delta = (
+                (last - feat_last) // self.step_seconds
+                if feat_last is not None
+                else 0
+            )
+            self.shifts[c] = max(0, int(delta) + self.horizon)
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.shifts is None:
+            raise ValueError("Transform is not fitted!")
+        w = Window.partitionBy(*self.series_cols).orderBy(self.ts_col)
+        out = df
+        for c, k in self.shifts.items():
+            if k > 0:
+                out = out.withColumn(
+                    f"{c}_shift_{k}", F.lag(c, k).over(w)
+                ).drop(c)
+        return out
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        return self.fit(df).transform(df)
+
+    def get_regressors_info(self) -> list[str]:
+        if self.shifts is None:
+            raise ValueError("Fit the transform to get the regressors info!")
+        return [f"{c}_shift_{k}" for c, k in self.shifts.items() if k > 0]
+
+
+def check_regressors(
+    df: DataFrame,
+    regressor_cols: Sequence[str],
+    target_col: str = "value",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> None:
+    """Regressor coverage validation (reference tsdataset.py:549-577):
+    every regressor series must start no later than the target and finish
+    strictly later. One distributed aggregation per series; raises
+    ValueError naming the first offending series."""
+    if not regressor_cols:
+        return
+    keys = list(series_cols)
+    t = F.col(target_col)
+    ts = F.col(ts_col)
+    # a timestamp counts as covered when EVERY regressor is non-null there
+    all_reg = F.lit(True)
+    for c in regressor_cols:
+        all_reg = all_reg & F.col(c).isNotNull()
+    stats = df.groupBy(*keys).agg(
+        F.min(F.when(t.isNotNull(), ts)).alias("_t_min"),
+        F.max(F.when(t.isNotNull(), ts)).alias("_t_max"),
+        F.min(F.when(all_reg, ts)).alias("_r_min"),
+        F.max(F.when(all_reg, ts)).alias("_r_max"),
+    )
+    bad = stats.filter(
+        (F.col("_t_min") < F.col("_r_min"))
+        | (F.col("_t_max") >= F.col("_r_max"))
+        | F.col("_r_min").isNull()
+    )
+    offender = bad.limit(1).collect()
+    if offender:
+        r = offender[0]
+        seg = ", ".join(str(r[k]) for k in keys)
+        raise ValueError(
+            f"All the regressor series should start not later and finish "
+            f"later than corresponding 'target'. Series of segment {seg} "
+            f"have not enough history: target [{r['_t_min']}, {r['_t_max']}] "
+            f"vs regressors [{r['_r_min']}, {r['_r_max']}]."
+        )

@@ -212,18 +212,110 @@ def q_gorilla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match.join(sizes, on="source")
 
 
-@register("dedup_minhash_lsh", None)
+_MINHASH_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+    CAST(list_reduce(
+      [CAST(0 AS BIGINT)] ||
+      list_transform(string_split(s.sh_str, ' '), w -> unicode(w) * length(w)),
+      (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS sh
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(
+        range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+      )) AS sh_str
+    FROM documents
+  ) s
+), sig AS (
+  SELECT doc_id, list(m ORDER BY i) AS sig FROM (
+    SELECT doc_id, i,
+      min((sh * ((1103515245 * (i + 1)) % 1000000007) + 12345 * (i + 1))
+          % 1000000007) AS m
+    FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) perms
+    GROUP BY doc_id, i
+  ) GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, sig, bd,
+    CAST(list_reduce([CAST(0 AS BIGINT)] || sig[bd * 4 + 1 : bd * 4 + 4],
+      (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bd) bands
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                  x.sig AS sig_a, y.sig AS sig_b
+  FROM banded x JOIN banded y
+    ON x.bd = y.bd AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b,
+  len(list_filter(list_transform(range(1, 17),
+    i -> CASE WHEN sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)]
+         THEN 1 ELSE 0 END), v -> v = 1)) / 16.0 AS est_jaccard
+FROM cand
+WHERE len(list_filter(list_transform(range(1, 17),
+    i -> CASE WHEN sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)]
+         THEN 1 ELSE 0 END), v -> v = 1)) / 16.0 >= 0.2
+"""
+
+
+def _simhash_sql(max_hamming: int, prefix_bits: int, n_tables: int) -> str:
+    """Generate the DuckDB twin of simhash_pairs (64 per-bit vote terms)."""
+    def bit_const(j: int) -> int:
+        v = 1 << (63 - j)
+        return v - (1 << 64) if v >= 1 << 63 else v  # signed bit pattern
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(whs, h -> CASE WHEN (h >> {j}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN CAST({bit_const(j)} AS BIGINT)"
+        f" ELSE 0 END)"
+        for j in range(64)
+    )
+    mask = (1 << prefix_bits) - 1
+    shifts = ", ".join(
+        f"({64 - prefix_bits * (t + 1)})" for t in range(n_tables)
+    )
+    return f"""
+WITH wh AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w ->
+    CAST(list_reduce([CAST(0 AS BIGINT)] ||
+      list_transform(string_split(w, ''), ch -> unicode(ch)),
+      (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) * 2147483648
+    + CAST(list_reduce([CAST(0 AS BIGINT)] ||
+      list_transform(string_split(w, ''), ch -> unicode(ch)),
+      (acc, x) -> (acc * 137 + x) % 998244353) AS BIGINT)
+  ) AS whs
+  FROM documents
+), sim AS (
+  SELECT doc_id, ({bit_terms}) AS simhash FROM wh
+), tables AS (
+  SELECT doc_id, simhash,
+    t.sh AS tshift, (simhash >> t.sh) & {mask} AS bucket
+  FROM sim CROSS JOIN (SELECT unnest([{shifts}]) AS sh) t
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                  x.simhash AS h_a, y.simhash AS h_b
+  FROM tables x JOIN tables y
+    ON x.tshift = y.tshift AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text",
                              k=3, num_perm=16, bands=4, threshold=0.2)
 
 
-@register("dedup_simhash", None)
+@register("dedup_simhash", _simhash_sql(max_hamming=16, prefix_bits=8, n_tables=4))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with 4-table bit-slice LSH; the arithmetic
+    word-hash family makes the full pipeline DuckDB-reproducible (hamming
+    is integer-exact)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, id_col="doc_id", text_col="text",
-                         max_hamming=16, prefix_bits=8)
+                         max_hamming=16, prefix_bits=8, n_tables=4)
 
 
 @register("ann_cosine_lsh", None)

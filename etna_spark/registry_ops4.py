@@ -164,3 +164,88 @@ def q_outliers_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
         series_cols=("event_type",), ts_col="bucket_ts",
     )
     return out.select("event_type", epoch())
+
+
+# ---------------------------------------------------------------------------
+# ExogShiftTransform auto mode (reference lags.py:112-313): the shift is
+# INFERRED from the exog column's last covered timestamp vs the dataset end
+# plus the horizon — the SQL twin re-derives it with aggregates and applies
+# it as a timestamp-offset self-join (row-lag == ts-offset on the dense
+# token tier).
+# ---------------------------------------------------------------------------
+
+def _exog_auto_sql() -> str:
+    from etna_spark.registry import _TOK_CTE
+
+    return _TOK_CTE + """
+, agg AS (
+  SELECT source, date_trunc('hour', event_ts) AS bts,
+         CAST(sum(n_tok) AS BIGINT) AS tok_sum
+  FROM tok GROUP BY 1, 2
+), bounds AS (SELECT min(bts) AS mn, max(bts) AS mx FROM agg),
+spine AS (
+  SELECT s.source, g.bts
+  FROM (SELECT DISTINCT source FROM tok) s
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+              AS bts FROM bounds) g
+), hourly AS (
+  SELECT sp.source, CAST(epoch(sp.bts) AS BIGINT) AS bts,
+    last_value(a.tok_sum IGNORE NULLS) OVER (
+      PARTITION BY sp.source ORDER BY sp.bts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_sum
+  FROM spine sp LEFT JOIN agg a ON a.source = sp.source AND a.bts = sp.bts
+), masked AS (
+  SELECT source, bts, tok_sum,
+    CASE WHEN bts <= (SELECT max(bts) FROM hourly) - 3 * 3600
+         THEN tok_sum END AS exog
+  FROM hourly
+), params AS (
+  SELECT CAST(((SELECT max(bts) FROM hourly)
+    - (SELECT max(bts) FROM masked WHERE exog IS NOT NULL)) / 3600
+    AS BIGINT) + 5 AS shift
+)
+SELECT a.source, a.bts AS bucket_ts, a.tok_sum, b.exog AS exog_shifted
+FROM masked a CROSS JOIN params p
+LEFT JOIN masked b
+  ON b.source = a.source AND b.bts = a.bts - p.shift * 3600
+"""
+
+
+@register("exog_shift_auto_1h", _exog_auto_sql())
+def q_exog_shift_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto exog shift over the REGULARIZED 1h token tier (the reference
+    operates on a dense grid, where row-lag == ts-offset): exog = tok_sum
+    with the last 3 buckets masked; horizon 5 -> the transform must INFER
+    shift=8 (delta 3 + horizon 5)."""
+    from etna_spark.operators.lags import ExogShiftAuto
+    from etna_spark.operators.rollup import rollup
+    from etna_spark.operators.spine import ffill, regularize
+    from etna_spark.synth import doc_token_table
+
+    tt = doc_token_table(spark, sf_dir)
+    r = rollup(tt, "1h", series_cols=("source",), ts_col="event_ts",
+               value_col="n_tok").select(
+        "source", "bucket_ts", F.col("value_sum").alias("tok_sum")
+    )
+    dense = ffill(
+        regularize(r, "1h", series_cols=("source",), ts_col="bucket_ts"),
+        ["tok_sum"], series_cols=("source",), ts_col="bucket_ts",
+    )
+    cutoff = (
+        dense.agg(F.max(F.col("bucket_ts").cast("long"))).collect()[0][0]
+        - 3 * 3600
+    )
+    masked = dense.withColumn(
+        "exog",
+        F.when(F.col("bucket_ts").cast("long") <= cutoff, F.col("tok_sum")),
+    )
+    t = ExogShiftAuto(
+        cols=["exog"], horizon=5, step_seconds=3600,
+        series_cols=("source",), ts_col="bucket_ts",
+    ).fit(masked)
+    k = t.shifts["exog"]
+    out = t.transform(masked)
+    return out.select(
+        "source", epoch(), "tok_sum",
+        F.col(f"exog_shift_{k}").alias("exog_shifted"),
+    )
