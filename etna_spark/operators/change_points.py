@@ -1,0 +1,243 @@
+"""Change-point-based transforms: trend / level removal and segmentation.
+
+Reference: ``ChangePointsTrendTransform`` / ``ChangePointsLevelTransform`` /
+``ChangePointsSegmentationTransform``
+(/root/reference/etna/transforms/decomposition/change_points_based/
+detrend.py:45, level.py:42, segmentation.py:56) — each series is split into
+intervals by a change-point model (default: ``ruptures`` Binseg, n_bkps=5),
+a per-interval model (linear regression on the timestamp / constant mean)
+is fitted, and its prediction is subtracted (trend/level, reversible) or
+the interval index is emitted (segmentation, irreversible). The last
+interval extends to +inf so future rows use the last fitted model.
+
+ruptures/sklearn are unavailable here: change points come from a from-
+scratch numpy BINARY SEGMENTATION (the standard greedy binseg splitter)
+with an O(1)-per-split cumulative-sum cost — 'linear' (RSS around the
+per-segment OLS line; localizes slope AND level changes, the analogue of
+the reference's ruptures default) for the trend transform, 'l2' (mean
+shifts) for the level transform. Per-interval OLS is closed-form numpy;
+breakpoint recovery on step/slope series is pinned by tests.
+
+Spark surface: per-series ``applyInPandas`` fit producing a tiny interval
+state table (n_bkps+1 rows per series, persisted via plans/state), applied
+with a broadcast interval-range join + native expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etna_spark.plans.state import materialize
+
+__all__ = ["binseg", "ChangePointsTrend", "ChangePointsLevel",
+           "ChangePointsSegmentation"]
+
+
+class _Cums:
+    """Cumulative sums for O(1) segment costs: l2 (deviation around the
+    mean) and linear (RSS around the per-segment OLS line on the index)."""
+
+    def __init__(self, y: np.ndarray, model: str):
+        n = len(y)
+        x = np.arange(n, dtype=np.float64)
+        z = np.zeros(1)
+        self.model = model
+        self.cy = np.concatenate([z, np.cumsum(y)])
+        self.cyy = np.concatenate([z, np.cumsum(y * y)])
+        if model == "linear":
+            self.cx = np.concatenate([z, np.cumsum(x)])
+            self.cxx = np.concatenate([z, np.cumsum(x * x)])
+            self.cxy = np.concatenate([z, np.cumsum(x * y)])
+
+    def cost(self, lo, hi):
+        """Segment cost over [lo, hi); lo/hi may be arrays."""
+        ln = hi - lo
+        sy = self.cy[hi] - self.cy[lo]
+        syy = self.cyy[hi] - self.cyy[lo]
+        dev_yy = syy - sy * sy / ln
+        if self.model == "l2":
+            return dev_yy
+        sx = self.cx[hi] - self.cx[lo]
+        sxx = self.cxx[hi] - self.cxx[lo]
+        sxy = self.cxy[hi] - self.cxy[lo]
+        dev_xx = sxx - sx * sx / ln
+        dev_xy = sxy - sx * sy / ln
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rss = dev_yy - np.where(dev_xx > 0, dev_xy * dev_xy
+                                    / np.where(dev_xx > 0, dev_xx, 1.0), 0.0)
+        return rss
+
+
+def _best_split(c: _Cums, a: int, b: int, min_size: int) -> tuple[int, float]:
+    """Best split point of [a, b) and its cost gain (vectorized over t)."""
+    n = b - a
+    if n < 2 * min_size:
+        return -1, 0.0
+    t = np.arange(a + min_size, b - min_size + 1)
+    split_cost = c.cost(np.full_like(t, a), t) + c.cost(t, np.full_like(t, b))
+    k = int(np.argmin(split_cost))
+    gain = float(c.cost(a, b) - split_cost[k])
+    return int(t[k]), gain
+
+
+def binseg(y: np.ndarray, n_bkps: int, min_size: int = 2,
+           model: str = "linear") -> list[int]:
+    """Greedy binary segmentation: returns sorted breakpoint indices (each
+    b splits segments as [.., b), [b, ..)). ``model``: 'linear' (RSS around
+    per-segment OLS — localizes slope AND level changes; the analogue of
+    the reference's ruptures default) or 'l2' (mean shifts only)."""
+    if model not in ("linear", "l2"):
+        raise ValueError(f"bad binseg model {model}")
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    c = _Cums(y, model)
+    segments: list[tuple[int, int]] = [(0, n)]
+    bkps: list[int] = []
+    for _ in range(n_bkps):
+        best = (1e-9, -1, -1)  # gain, split, seg index
+        for si, (a, b) in enumerate(segments):
+            t, gain = _best_split(c, a, b, min_size)
+            if t >= 0 and gain > best[0]:
+                best = (gain, t, si)
+        if best[1] < 0:
+            break
+        _, t, si = best
+        a, b = segments.pop(si)
+        segments.extend([(a, t), (t, b)])
+        bkps.append(t)
+    return sorted(bkps)
+
+
+class ChangePointsTrend:
+    """Binseg intervals + per-interval OLS trend on the epoch timestamp,
+    subtracted at transform, restored at inverse (detrend.py:45)."""
+
+    _MODEL = "linear"
+
+    def __init__(
+        self,
+        in_col: str = "value",
+        n_bkps: int = 5,
+        min_size: int = 2,
+        series_cols: Sequence[str] = ("series",),
+        ts_col: str = "ts",
+    ):
+        self.in_col = in_col
+        self.n_bkps = n_bkps
+        self.min_size = min_size
+        self.series_cols = list(series_cols)
+        self.ts_col = ts_col
+        self._state: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> "ChangePointsTrend":
+        in_col, ts_col = self.in_col, self.ts_col
+        keys = self.series_cols
+        n_bkps, min_size, model = self.n_bkps, self.min_size, self._MODEL
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            pdf = pdf[~pdf[in_col].isna()]
+            y = pdf[in_col].to_numpy(np.float64)
+            ts = pdf[ts_col].to_numpy("datetime64[s]").astype(np.int64)
+            out = {"itv": [], "start_ts": [], "end_ts": [],
+                   "slope": [], "intercept": []}
+            if len(y):
+                cost = "linear" if model == "linear" else "l2"
+                bounds = [0, *binseg(y, n_bkps, min_size, model=cost), len(y)]
+                for i in range(len(bounds) - 1):
+                    a, b = bounds[i], bounds[i + 1]
+                    xs, ys = ts[a:b].astype(np.float64), y[a:b]
+                    if model == "linear" and len(xs) > 1 and xs.std() > 0:
+                        slope = float(np.cov(xs, ys, bias=True)[0, 1]
+                                      / xs.var())
+                        intercept = float(ys.mean() - slope * xs.mean())
+                    else:  # constant (level) model or degenerate interval
+                        slope, intercept = 0.0, float(ys.mean())
+                    out["itv"].append(i)
+                    # first interval reaches -inf, last +inf (future rows)
+                    out["start_ts"].append(None if i == 0 else int(ts[a]))
+                    out["end_ts"].append(
+                        None if b == len(y) else int(ts[b])
+                    )
+                    out["slope"].append(slope)
+                    out["intercept"].append(intercept)
+            res = pd.DataFrame(out)
+            for k in keys:
+                res[k] = pdf[k].iloc[0] if len(pdf) else None
+            return res[[*keys, "itv", "start_ts", "end_ts", "slope",
+                        "intercept"]]
+
+        key_schema = ", ".join(
+            f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+        )
+        state = df.groupBy(*keys).applyInPandas(
+            kern,
+            f"{key_schema}, itv int, start_ts long, end_ts long, "
+            "slope double, intercept double",
+        )
+        self._state = materialize(state)
+        return self
+
+    def _joined(self, df: DataFrame) -> DataFrame:
+        if self._state is None:
+            raise ValueError("Transform is not fitted!")
+        ts_l = F.col(self.ts_col).cast("long")
+        cond = (
+            (F.col("start_ts").isNull() | (ts_l >= F.col("start_ts")))
+            & (F.col("end_ts").isNull() | (ts_l < F.col("end_ts")))
+        )
+        st = F.broadcast(self._state)
+        return df.join(st, on=[*self.series_cols], how="left").filter(cond)
+
+    def _pred(self) -> F.Column:
+        return (
+            F.col("intercept")
+            + F.col("slope") * F.col(self.ts_col).cast("double")
+        )
+
+    _STATE_COLS = ("itv", "start_ts", "end_ts", "slope", "intercept")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        j = self._joined(df)
+        return j.withColumn(
+            self.in_col, F.col(self.in_col) - self._pred()
+        ).drop(*self._STATE_COLS)
+
+    def inverse_transform(self, df: DataFrame) -> DataFrame:
+        j = self._joined(df)
+        return j.withColumn(
+            self.in_col, F.col(self.in_col) + self._pred()
+        ).drop(*self._STATE_COLS)
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        return self.fit(df).transform(df)
+
+
+class ChangePointsLevel(ChangePointsTrend):
+    """Per-interval CONSTANT (mean) model — level shifts (level.py:42)."""
+
+    _MODEL = "mean"
+
+
+class ChangePointsSegmentation(ChangePointsTrend):
+    """Label each timestamp with its interval index (segmentation.py:56);
+    irreversible — inverse returns the frame unchanged."""
+
+    def __init__(self, in_col: str = "value", out_col: str = "interval",
+                 n_bkps: int = 5, min_size: int = 2,
+                 series_cols: Sequence[str] = ("series",), ts_col: str = "ts"):
+        super().__init__(in_col=in_col, n_bkps=n_bkps, min_size=min_size,
+                         series_cols=series_cols, ts_col=ts_col)
+        self.out_col = out_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        j = self._joined(df)
+        return j.withColumn(self.out_col, F.col("itv")).drop(*self._STATE_COLS)
+
+    def inverse_transform(self, df: DataFrame) -> DataFrame:
+        return df

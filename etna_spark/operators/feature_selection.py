@@ -1,0 +1,212 @@
+"""Feature selection: MRMR and tree-importance top-k.
+
+Reference:
+- ``MRMRFeatureSelectionTransform`` / ``mrmr``
+  (/root/reference/etna/transforms/feature_selection/feature_importance.py:160,
+  /root/reference/etna/analysis/feature_selection/mrmr_selection.py:33):
+  greedy max-relevance/min-redundancy — score(f) = relevance(f) ·
+  (1 − max redundancy(f, already-selected)), redundancy = per-segment
+  |Pearson corr| aggregated (fast_redundancy=True semantics), clipped at
+  ``atol`` and NaN→1.
+- ``TreeFeatureSelectionTransform`` (feature_importance.py:36): top-k by a
+  tree ensemble's ``feature_importances_``.
+
+Spark-first split of the work: every statistic that touches DATA (per-
+segment correlations) is one distributed aggregation; the greedy selection
+loop runs on the driver over tiny (n_features-sized) tables — top_k
+passes, each O(n_segments · n_remaining) correlation expressions.
+
+sklearn is unavailable: tree importances come from a from-scratch numpy
+Extra-Trees regressor (Geurts et al. 2006 — random split thresholds,
+variance-reduction importance), fitted on a seeded row sample capped at
+``max_rows`` (the reference trains a driver-side sklearn model on the full
+flattened frame, which is the same driver cliff uncapped)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["relevance_table", "mrmr_select", "tree_importance_select"]
+
+
+def _safe_corr(a: F.Column, b: F.Column) -> F.Column:
+    """|Pearson corr| with zero-variance guards (ANSI mode: plain corr on a
+    constant column raises DIVIDE_BY_ZERO). Null when undefined."""
+    cov = F.covar_pop(a, b)
+    sa = F.stddev_pop(a)
+    sb = F.stddev_pop(b)
+    return F.when((sa > 0) & (sb > 0), F.abs(cov / (sa * sb)))
+
+
+def relevance_table(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    target_col: str = "target",
+    series_cols: Sequence[str] = ("series",),
+) -> DataFrame:
+    """(series..., feature, relevance): per-segment |Pearson corr(feature,
+    target)| — the statistics relevance analogue, one aggregation pass."""
+    aggs = [
+        _safe_corr(F.col(c).cast("double"), F.col(target_col).cast("double"))
+        .alias(c)
+        for c in feature_cols
+    ]
+    wide = df.groupBy(*series_cols).agg(*aggs)
+    stack = F.explode(
+        F.array(*[
+            F.struct(F.lit(c).alias("feature"), F.col(c).alias("relevance"))
+            for c in feature_cols
+        ])
+    ).alias("fr")
+    return wide.select(*series_cols, stack).select(
+        *series_cols, "fr.feature", "fr.relevance"
+    )
+
+
+def mrmr_select(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    target_col: str = "target",
+    top_k: int = 5,
+    series_cols: Sequence[str] = ("series",),
+    atol: float = 1e-10,
+) -> list[str]:
+    """Greedy MRMR over per-segment correlation statistics (reference
+    mrmr_selection.py:33-154, fast_redundancy semantics, mean aggregation).
+    Returns ``top_k`` features sorted by selection order."""
+    feature_cols = list(feature_cols)
+    if top_k >= len(feature_cols):
+        return feature_cols.copy()
+
+    rel_rows = (
+        relevance_table(df, feature_cols, target_col, series_cols)
+        .groupBy("feature")
+        .agg(F.avg("relevance").alias("r"))
+        .collect()
+    )
+    relevance = {r["feature"]: (r["r"] if r["r"] is not None else 0.0)
+                 for r in rel_rows}
+    for c in feature_cols:
+        relevance.setdefault(c, 0.0)
+
+    selected: list[str] = []
+    not_selected = feature_cols.copy()
+    # redundancy_table[f] = max over selected of redundancy(f, s)
+    max_redundancy = {c: 0.0 for c in feature_cols}
+
+    for i in range(top_k):
+        if i > 0:
+            last = selected[-1]
+            aggs = [
+                _safe_corr(F.col(c).cast("double"),
+                           F.col(last).cast("double")).alias(c)
+                for c in not_selected
+            ]
+            per_seg = df.groupBy(*series_cols).agg(*aggs)
+            red_row = per_seg.agg(
+                *[F.avg(c).alias(c) for c in not_selected]
+            ).collect()[0]
+            for c in not_selected:
+                red = red_row[c]
+                red = 1.0 if red is None else max(red, atol)
+                max_redundancy[c] = max(max_redundancy[c], red)
+        score = {
+            c: relevance[c] * (1.0 - max_redundancy[c]) for c in not_selected
+        }
+        best = max(not_selected, key=lambda c: (score[c], -not_selected.index(c)))
+        selected.append(best)
+        not_selected.remove(best)
+    return selected
+
+
+# ---------------------------------------------------------------------------
+# numpy Extra-Trees importance
+# ---------------------------------------------------------------------------
+
+def _grow_tree(
+    X: np.ndarray, y: np.ndarray, idx: np.ndarray, depth: int,
+    max_depth: int, min_leaf: int, rng: np.random.RandomState,
+    importances: np.ndarray, n_total: int,
+) -> None:
+    n = len(idx)
+    if depth >= max_depth or n < 2 * min_leaf:
+        return
+    yv = y[idx]
+    var_parent = yv.var()
+    if var_parent <= 0:
+        return
+    n_feat = X.shape[1]
+    k = max(1, int(np.sqrt(n_feat)))
+    feats = rng.choice(n_feat, size=k, replace=False)
+    best = (0.0, -1, 0.0)  # gain, feature, threshold
+    for f in feats:
+        col = X[idx, f]
+        lo, hi = col.min(), col.max()
+        if lo == hi:
+            continue
+        thr = rng.uniform(lo, hi)
+        mask = col < thr
+        nl = int(mask.sum())
+        if nl < min_leaf or n - nl < min_leaf:
+            continue
+        var_l = yv[mask].var()
+        var_r = yv[~mask].var()
+        gain = var_parent - (nl * var_l + (n - nl) * var_r) / n
+        if gain > best[0]:
+            best = (gain, f, thr)
+    gain, f, thr = best
+    if f < 0:
+        return
+    importances[f] += gain * n / n_total
+    mask = X[idx, f] < thr
+    _grow_tree(X, y, idx[mask], depth + 1, max_depth, min_leaf, rng,
+               importances, n_total)
+    _grow_tree(X, y, idx[~mask], depth + 1, max_depth, min_leaf, rng,
+               importances, n_total)
+
+
+def _extra_trees_importance(
+    X: np.ndarray, y: np.ndarray, n_estimators: int = 50,
+    max_depth: int = 8, min_leaf: int = 5, seed: int = 0,
+) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    importances = np.zeros(X.shape[1])
+    n = len(y)
+    for _ in range(n_estimators):
+        idx = rng.randint(0, n, size=n)  # bootstrap
+        _grow_tree(X, y, idx, 0, max_depth, min_leaf, rng, importances, n)
+    s = importances.sum()
+    return importances / s if s > 0 else importances
+
+
+def tree_importance_select(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    target_col: str = "target",
+    top_k: int = 5,
+    n_estimators: int = 50,
+    max_depth: int = 8,
+    max_rows: int = 100_000,
+    seed: int = 0,
+) -> list[str]:
+    """Top-k features by Extra-Trees variance-reduction importance, fitted
+    on a seeded sample of at most ``max_rows`` rows (deterministic)."""
+    feature_cols = list(feature_cols)
+    base = df.select(target_col, *feature_cols).dropna()
+    n = base.count()
+    if n > max_rows:
+        base = base.sample(fraction=max_rows / n, seed=seed)
+    pdf = base.toPandas()
+    if len(pdf) == 0:
+        return feature_cols[:top_k]
+    X = pdf[feature_cols].to_numpy(np.float64)
+    y = pdf[target_col].to_numpy(np.float64)
+    imp = _extra_trees_importance(
+        X, y, n_estimators=n_estimators, max_depth=max_depth, seed=seed
+    )
+    order = np.argsort(-imp)[:top_k]
+    return [feature_cols[i] for i in order]

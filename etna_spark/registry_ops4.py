@@ -249,3 +249,67 @@ def q_exog_shift_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", epoch(), "tok_sum",
         F.col(f"exog_shift_{k}").alias("exog_shifted"),
     )
+
+
+@register("changepoints_trend_1h", None)
+def q_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChangePointsTrendTransform (reference change_points_based/detrend.py:
+    45): binseg + per-interval OLS is not SQL-expressible → rows-only,
+    SELF-VERIFYING: all_match=1 iff inverse(transform(x)) == x per point,
+    n_intervals reports the discovered segmentation size."""
+    from etna_spark.operators.change_points import ChangePointsTrend
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("v"),
+    )
+    t = ChangePointsTrend(
+        in_col="v", n_bkps=4, min_size=12,
+        series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit(s)
+    resid = t.transform(s).withColumnRenamed("v", "resid")
+    back = t.inverse_transform(resid.withColumnRenamed("resid", "v"))
+    joined = s.join(
+        back.select("event_type", "bucket_ts", F.col("v").alias("v_back")),
+        on=["event_type", "bucket_ts"],
+    )
+    n_itv = t._state.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals")
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_points"),
+        F.min((F.abs(F.col("v") - F.col("v_back")) < 1e-6).cast("int")).alias(
+            "all_match"
+        ),
+    ).join(n_itv, on="event_type")
+
+
+@register("feature_selection_mrmr", None)
+def q_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRMR feature selection (reference mrmr_selection.py:33): selection
+    over hourly event features (lags + calendar). Pearson correlations are
+    aggregation-order-sensitive across engines → rows-only; semantics pinned
+    by tests/test_feature_selection.py. Returns (rank, feature)."""
+    from etna_spark.operators.feature_selection import mrmr_select
+
+    s = _events_1h(spark, sf_dir).withColumn(
+        "v", F.col("value_cents").cast("double")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    feats = s.select(
+        "event_type", "bucket_ts", F.col("v").alias("target"),
+        F.lag("v", 1).over(w).alias("lag_1"),
+        F.lag("v", 2).over(w).alias("lag_2"),
+        F.lag("v", 24).over(w).alias("lag_24"),
+        F.hour("bucket_ts").cast("double").alias("hour_of_day"),
+        F.dayofweek("bucket_ts").cast("double").alias("day_of_week"),
+        (F.hour("bucket_ts") * 0.0 + 1.0).alias("constant_feature"),
+    ).dropna()
+    sel = mrmr_select(
+        feats, ["lag_1", "lag_2", "lag_24", "hour_of_day", "day_of_week",
+                "constant_feature"],
+        "target", top_k=3, series_cols=("event_type",),
+    )
+    return spark.createDataFrame(
+        [(i, f) for i, f in enumerate(sel)], "rank int, feature string"
+    )
