@@ -54,14 +54,64 @@ def detect_outliers_median(
     )
 
 
+def _stl_adjust(
+    df: DataFrame,
+    in_col: str,
+    period: int,
+    trend: bool,
+    seasonality: bool,
+    series_cols: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Subtract STL trend and/or seasonal components before detection
+    (reference rolling_statistics.py:84-126 ``_stl_decompose``). The
+    reference re-decomposes EVERY rolling window — O(n·window·STL); at
+    scale we decompose each series once, which estimates the same
+    components over strictly more data."""
+    from etna_spark.operators.stl import stl_decompose
+
+    keys = list(series_cols)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").copy()
+        y = pdf[in_col].to_numpy(np.float64, na_value=np.nan)
+        ok = ~np.isnan(y)
+        if ok.sum() >= 2 * period:
+            season, tr, _ = stl_decompose(y[ok], period)
+            adj = y.copy()
+            sub = np.zeros(int(ok.sum()))
+            if trend:
+                sub = sub + tr
+            if seasonality:
+                sub = sub + season
+            adj[ok] = y[ok] - sub
+            pdf[in_col] = adj
+        return pdf
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.groupBy(*keys).applyInPandas(kern, fields)
+
+
 def detect_outliers_iqr(
     df: DataFrame,
     in_col: str = "value",
     window_size: int = 10,
     iqr_scale: float = 1.5,
+    trend: bool = False,
+    seasonality: bool = False,
+    period: int | None = None,
     series_cols: Sequence[str] = ("series",),
     ts_col: str = "ts",
 ) -> DataFrame:
+    if iqr_scale <= 0:
+        raise ValueError("Scaling parameter must be positive!")
+    if trend or seasonality:
+        if period is None:
+            raise ValueError("`period` is required with trend/seasonality")
+        df = _stl_adjust(df, in_col, period, trend, seasonality,
+                         series_cols, ts_col)
     q25 = window_stat(
         df, in_col, "_q25", "quantile", window_size, quantile=0.25,
         fillna=float("nan"), series_cols=series_cols, ts_col=ts_col,
@@ -84,9 +134,19 @@ def detect_outliers_mad(
     in_col: str = "value",
     window_size: int = 10,
     mad_scale: float = 3.0,
+    trend: bool = False,
+    seasonality: bool = False,
+    period: int | None = None,
     series_cols: Sequence[str] = ("series",),
     ts_col: str = "ts",
 ) -> DataFrame:
+    if mad_scale <= 0:
+        raise ValueError("Scaling parameter must be positive!")
+    if trend or seasonality:
+        if period is None:
+            raise ValueError("`period` is required with trend/seasonality")
+        df = _stl_adjust(df, in_col, period, trend, seasonality,
+                         series_cols, ts_col)
     med = window_stat(
         df, in_col, "_med", "median", window_size,
         fillna=float("nan"), series_cols=series_cols, ts_col=ts_col,

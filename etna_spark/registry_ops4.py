@@ -313,3 +313,29 @@ def q_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, f) for i, f in enumerate(sel)], "rank int, feature string"
     )
+
+
+@register("fourier_decompose_1h", None)
+def q_fourier_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FourierDecomposeTransform (reference dft_based.py:11-210): FFT is
+    not SQL-expressible → rows-only, SELF-VERIFYING: with residuals=True
+    the components must sum back to the series exactly (all_match flag)."""
+    from etna_spark.operators.fourier_decompose import fourier_decompose
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("v"),
+    )
+    out = fourier_decompose(
+        s, k=4, in_col="v", residuals=True,
+        series_cols=("event_type",), ts_col="bucket_ts",
+    )
+    recon = sum(
+        (F.col(f"dft_{i}") for i in range(4)), F.col("dft_residuals")
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_points"),
+        F.min(
+            (F.abs(F.col("v") - recon) < 1e-6).cast("int")
+        ).alias("all_match"),
+    )

@@ -1,0 +1,101 @@
+"""FourierDecomposeTransform (reference dft_based.py:11-210): components +
+residuals sum to the series, NaN head/tails preserved, middle NaNs raise,
+k validation — mirroring the reference's test_dft_based.py assertions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etna_spark.operators.fourier_decompose import (
+    _num_pos_freqs,
+    fourier_decompose,
+)
+
+START = dt.datetime(2021, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def wave_df(spark):
+    rng = np.random.default_rng(2)
+    frames = []
+    for s, (p1, p2) in {"a": (7, 30), "b": (14, 5)}.items():
+        i = np.arange(120)
+        y = (np.sin(2 * np.pi * i / p1) * 3 + np.cos(2 * np.pi * i / p2) * 2
+             + 0.05 * i + rng.normal(0, 0.2, 120))
+        frames.append(pd.DataFrame({
+            "series": s,
+            "ts": [START + dt.timedelta(days=int(j)) for j in i],
+            "value": y,
+        }))
+    return spark.createDataFrame(pd.concat(frames)).cache()
+
+
+@pytest.mark.parametrize("n,answ", [(10, 6), (11, 6), (12, 7), (1, 1)])
+def test_num_pos_freqs(n, answ):
+    assert _num_pos_freqs(n) == answ
+
+
+def test_invalid_k(spark, wave_df):
+    with pytest.raises(ValueError, match="must be positive"):
+        fourier_decompose(wave_df, k=0)
+
+
+def test_components_plus_residuals_sum_to_series(spark, wave_df):
+    out = fourier_decompose(
+        wave_df, k=5, in_col="value", residuals=True,
+        series_cols=("series",), ts_col="ts",
+    ).toPandas()
+    comp_cols = [f"dft_{i}" for i in range(5)] + ["dft_residuals"]
+    np.testing.assert_allclose(
+        out[comp_cols].sum(axis=1), out["value"], rtol=1e-9
+    )
+
+
+def test_nan_tails_preserved(spark, wave_df):
+    df = wave_df.withColumn(
+        "value",
+        F.when(
+            (F.col("series") == "a")
+            & (F.col("ts") < F.lit(START + dt.timedelta(days=2))),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("value")),
+    )
+    out = fourier_decompose(df, k=3, series_cols=("series",)).toPandas()
+    head = out[(out.series == "a")
+               & (out.ts < START + dt.timedelta(days=2))]
+    assert head["dft_0"].isna().all()
+    rest = out[~out["value"].isna()]
+    assert not rest["dft_0"].isna().any()
+
+
+def test_middle_nan_raises(spark, wave_df):
+    df = wave_df.withColumn(
+        "value",
+        F.when(F.col("ts") == F.lit(START + dt.timedelta(days=50)),
+               F.lit(None).cast("double")).otherwise(F.col("value")),
+    )
+    with pytest.raises(Exception, match="missing values"):
+        fourier_decompose(df, k=3, series_cols=("series",)).collect()
+
+
+def test_k_too_large_raises(spark, wave_df):
+    with pytest.raises(Exception, match="must not be greater"):
+        fourier_decompose(wave_df, k=70, series_cols=("series",)).collect()
+
+
+def test_top_frequency_captures_dominant_wave(spark, wave_df):
+    out = fourier_decompose(
+        wave_df.filter("series = 'a'"), k=2, residuals=True,
+        series_cols=("series",),
+    ).toPandas().sort_values("ts")
+    # components reduce residual variance (note: like the reference, each
+    # component is the ifft of a single positive-frequency row WITHOUT its
+    # conjugate, so non-DC amplitudes are halved — components explain
+    # energy but don't fully reconstruct their wave)
+    resid = out["dft_residuals"].to_numpy()
+    assert np.var(resid) < np.var(out["value"].to_numpy())

@@ -131,3 +131,35 @@ def test_transform_nulls_and_restores(spark, method, params):
     orig = {(r["series"], r["ts"]): r["value"] for r in df.collect()}
     rest = {(r["series"], r["ts"]): r["value"] for r in back.collect()}
     assert orig == rest
+
+
+def test_iqr_with_stl_adjust_finds_seasonal_outlier(spark):
+    """STL-adjusted IQR (reference rolling_statistics.py:159-280): on a
+    strongly seasonal series a +4σ spike hides inside the seasonal range —
+    only the trend/seasonality-adjusted detector isolates it."""
+    from etna_spark.operators.outliers import detect_outliers_iqr
+
+    rng = np.random.default_rng(4)
+    i = np.arange(140)
+    y = np.sin(2 * np.pi * i / 7) * 10 + 0.05 * i + rng.normal(0, 0.5, 140)
+    y[70] += 6.0  # small vs the ±10 seasonal swing
+    rows = [("s", START + dt.timedelta(days=int(k)), float(v))
+            for k, v in zip(i, y)]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    plain = detect_outliers_iqr(df, window_size=30, iqr_scale=1.5)
+    adjusted = detect_outliers_iqr(
+        df, window_size=30, iqr_scale=1.5, trend=True, seasonality=True,
+        period=7,
+    )
+    adj_days = {(r["ts"] - START).days for r in adjusted.collect()}
+    plain_days = {(r["ts"] - START).days for r in plain.collect()}
+    assert 70 in adj_days and len(adj_days) < 20
+    assert 70 not in plain_days  # masked by the seasonal swing
+
+
+def test_iqr_scale_validation(spark):
+    from etna_spark.operators.outliers import detect_outliers_iqr
+
+    df = _outliers_df(spark)
+    with pytest.raises(ValueError, match="positive"):
+        detect_outliers_iqr(df, iqr_scale=0.0)
