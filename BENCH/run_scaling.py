@@ -9,7 +9,12 @@ throughput plus scaling efficiency
 into BENCH/BASELINE.md. Fresh processes, because a Spark master can't change
 within one JVM.
 
-Usage: python BENCH/run_scaling.py [--rows N]
+The sandbox host is noisy (cycle stealing from co-tenants): single runs
+vary ±15% on the small stages, so ``--repeats R`` runs each level R times
+and reports PER-WORKLOAD MEDIANS, with the headline min..max spread across
+repeats recorded alongside.
+
+Usage: python BENCH/run_scaling.py [--rows N] [--repeats R]
 """
 
 from __future__ import annotations
@@ -48,11 +53,34 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
 
-    lo = run_bench(args.low, args.rows, args.sf_dir)
-    hi = run_bench(args.high, args.rows, args.sf_dir)
+    import statistics
+
+    lo_runs = [run_bench(args.low, args.rows, args.sf_dir)
+               for _ in range(args.repeats)]
+    hi_runs = [run_bench(args.high, args.rows, args.sf_dir)
+               for _ in range(args.repeats)]
+
+    def median_run(runs: list[dict]) -> dict:
+        out = dict(runs[0])
+        out["queries"] = {
+            q: statistics.median(r["queries"][q] for r in runs)
+            for q in runs[0]["queries"]
+        }
+        for k in ("value", "rollup_points_per_sec", "raw_rows_per_sec"):
+            out[k] = statistics.median(r[k] for r in runs)
+        out["n_repeats"] = len(runs)
+        return out
+
+    lo = median_run(lo_runs)
+    hi = median_run(hi_runs)
     factor = args.high / args.low
+    headline_runs = sorted(
+        (h["raw_rows_per_sec"] / l["raw_rows_per_sec"]) / factor
+        for l, h in zip(lo_runs, hi_runs)
+    )
 
     rows_out = []
     effs = {}
@@ -83,7 +111,11 @@ def main() -> None:
         f"| local[{args.high}] | {headline_hi:,.0f} | {hi['rollup_points_per_sec']:,.0f} |",
         "",
         f"**Scaling efficiency ({args.low}→{args.high} cores): "
-        f"{headline_eff:.3f}** (target ≥ 0.8)",
+        f"{headline_eff:.3f}** (target ≥ 0.8)"
+        + (f" — per-workload medians of {args.repeats} repeated runs per "
+           f"level; paired-run headline spread "
+           f"{headline_runs[0]:.3f}..{headline_runs[-1]:.3f}"
+           if args.repeats > 1 else ""),
         "",
         "## Per-workload wall times",
         "",

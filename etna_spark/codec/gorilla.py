@@ -551,52 +551,59 @@ def encode_series(
     chunk: str = "day",
 ) -> DataFrame:
     """(series..., chunk_start, codec_blob, n_points, checksum) — one Gorilla
-    blob per series per chunk, rows time-sorted inside each blob."""
-    series_cols = list(series_cols)
-    out_schema = StructType(
-        [df.schema[c] for c in series_cols]
-        + [
-            StructField("chunk_start", LongType()),
-            StructField("codec_blob", BinaryType()),
-            StructField("n_points", IntegerType()),
-            StructField("checksum", LongType()),
-        ]
-    )
-    chunked = df.withColumn(
-        "_chunk", F.date_trunc(chunk, ts_col).cast("long")
-    ).select(*series_cols, "_chunk", F.col(ts_col).cast("long").alias("_ts"),
-             F.col(value_col).cast("double").alias("_v"))
+    blob per series per chunk, rows time-sorted inside each blob.
 
-    # one Spark group per SERIES (not per chunk): per-group applyInPandas
-    # dispatch costs dominate the numpy kernel at tier sizes, so the chunk
-    # loop lives inside the kernel
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((pdf["_ts"].to_numpy(),))
-        ts_all = pdf["_ts"].to_numpy(np.int64)[order]
-        v_all = pdf["_v"].to_numpy(np.float64)[order]
-        c_all = pdf["_chunk"].to_numpy(np.int64)[order]
-        starts = np.flatnonzero(np.r_[True, c_all[1:] != c_all[:-1]])
-        ends = np.r_[starts[1:], len(c_all)]
-        out = {
-            "chunk_start": [], "codec_blob": [], "n_points": [], "checksum": [],
-        }
-        for s, e in zip(starts, ends):
-            ts, vals = ts_all[s:e], v_all[s:e]
-            out["chunk_start"].append(int(c_all[s]))
-            out["codec_blob"].append(encode_chunk(ts, vals))
-            out["n_points"].append(e - s)
-            out["checksum"].append(
+    The points are packed into ARRAYS on the JVM side (partial-aggregating
+    ``collect_list`` + ``sort_array``) before crossing into Python, so the
+    Arrow exchange carries one row per (series, chunk) with two array cells
+    instead of one row per point — the per-row exchange overhead, not the
+    numpy kernel, dominates encode cost at tier sizes."""
+    series_cols = list(series_cols)
+    pts = F.sort_array(
+        F.collect_list(F.struct(F.col("_ts"), F.col("_v")))
+    )
+    grouped = (
+        df.select(
+            *series_cols,
+            F.date_trunc(chunk, ts_col).cast("long").alias("chunk_start"),
+            F.col(ts_col).cast("long").alias("_ts"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy(*series_cols, "chunk_start")
+        .agg(pts.alias("_pts"))
+        .select(
+            *series_cols, "chunk_start",
+            F.col("_pts._ts").alias("_tss"),
+            F.col("_pts._v").alias("_vs"),
+        )
+    )
+
+    @F.pandas_udf("codec_blob binary, checksum long")
+    def enc_udf(tss: pd.Series, vs: pd.Series) -> pd.DataFrame:
+        blobs, csums = [], []
+        for t, v in zip(tss, vs):
+            ts_a = np.asarray(t, dtype=np.int64)
+            v_a = np.asarray(v, dtype=np.float64)
+            blobs.append(encode_chunk(ts_a, v_a))
+            csums.append(
                 int(
-                    (ts.astype(np.uint64).sum() + vals.view(np.uint64).sum())
+                    (ts_a.astype(np.uint64).sum() + v_a.view(np.uint64).sum())
                     % np.uint64(1 << 63)
                 )
             )
-        res = pd.DataFrame(out)
-        for c in series_cols:
-            res[c] = pdf[c].iloc[0]
-        return res[series_cols + ["chunk_start", "codec_blob", "n_points", "checksum"]]
+        return pd.DataFrame({"codec_blob": blobs, "checksum": csums})
 
-    return chunked.groupBy(*series_cols).applyInPandas(enc, out_schema)
+    return grouped.select(
+        *series_cols,
+        "chunk_start",
+        enc_udf("_tss", "_vs").alias("_enc"),
+        F.size("_tss").cast("int").alias("n_points"),
+    ).select(
+        *series_cols, "chunk_start",
+        F.col("_enc.codec_blob").alias("codec_blob"),
+        "n_points",
+        F.col("_enc.checksum").alias("checksum"),
+    )
 
 
 def decode_series(

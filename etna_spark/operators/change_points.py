@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from etna_spark.plans.state import materialize
 
 __all__ = ["binseg", "ChangePointsTrend", "ChangePointsLevel",
-           "ChangePointsSegmentation"]
+           "ChangePointsSegmentation", "TrendTransform"]
 
 
 class _Cums:
@@ -238,6 +238,26 @@ class ChangePointsSegmentation(ChangePointsTrend):
     def transform(self, df: DataFrame) -> DataFrame:
         j = self._joined(df)
         return j.withColumn(self.out_col, F.col("itv")).drop(*self._STATE_COLS)
+
+    def inverse_transform(self, df: DataFrame) -> DataFrame:
+        return df
+
+
+class TrendTransform(ChangePointsTrend):
+    """Add the per-interval trend prediction as a feature column
+    (reference change_points_based/trend.py:59 — irreversible; the
+    detrend variant subtracts it instead)."""
+
+    def __init__(self, in_col: str = "value", out_col: str = "trend",
+                 n_bkps: int = 5, min_size: int = 2,
+                 series_cols: Sequence[str] = ("series",), ts_col: str = "ts"):
+        super().__init__(in_col=in_col, n_bkps=n_bkps, min_size=min_size,
+                         series_cols=series_cols, ts_col=ts_col)
+        self.out_col = out_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        j = self._joined(df)
+        return j.withColumn(self.out_col, self._pred()).drop(*self._STATE_COLS)
 
     def inverse_transform(self, df: DataFrame) -> DataFrame:
         return df

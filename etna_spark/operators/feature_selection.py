@@ -210,3 +210,103 @@ def tree_importance_select(
     )
     order = np.argsort(-imp)[:top_k]
     return [feature_cols[i] for i in order]
+
+
+# ---------------------------------------------------------------------------
+# Gale-Shapley feature selection
+# ---------------------------------------------------------------------------
+
+def _gale_shapley_match(
+    seg_rank: dict[str, list[str]], feat_rank: dict[str, list[str]]
+) -> dict[str, str]:
+    """Classic stable matching: segments propose in relevance order,
+    features keep their best proposer (reference gale_shapley.py:124-223)."""
+    match_s: dict[str, str] = {}
+    match_f: dict[str, str] = {}
+    next_idx = {s: 0 for s in seg_rank}
+    free = [s for s in seg_rank if seg_rank[s]]
+    while free:
+        s = free.pop(0)
+        lst = seg_rank[s]
+        while next_idx[s] < len(lst):
+            f = lst[next_idx[s]]
+            next_idx[s] += 1
+            holder = match_f.get(f)
+            if holder is None:
+                match_f[f] = s
+                match_s[s] = f
+                break
+            fr = feat_rank[f]
+            if fr.index(s) < fr.index(holder):
+                match_f[f] = s
+                match_s[s] = f
+                del match_s[holder]
+                if next_idx[holder] < len(seg_rank[holder]):
+                    free.append(holder)
+                break
+        # exhausted list → segment stays unmatched this round
+    return match_s
+
+
+def gale_shapley_select(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    target_col: str = "target",
+    top_k: int = 5,
+    series_cols: Sequence[str] = ("series",),
+) -> list[str]:
+    """Gale-Shapley feature selection (reference gale_shapley.py:226-403):
+    per round, stable-match segments to features by the per-segment
+    relevance table (one distributed aggregation), take each segment's
+    matched feature, repeat ceil(top_k / n_segments) rounds; the last round
+    keeps only the top_k remainder by relevance."""
+    import math
+
+    feature_cols = list(feature_cols)
+    rel_rows = relevance_table(
+        df, feature_cols, target_col, series_cols
+    ).collect()
+    keys = list(series_cols)
+    rel: dict[str, dict[str, float]] = {}
+    for r in rel_rows:
+        seg = tuple(r[k] for k in keys)
+        rel.setdefault(str(seg), {})[r["feature"]] = (
+            r["relevance"] if r["relevance"] is not None else float("-inf")
+        )
+    segments = sorted(rel)
+    n_seg, n_feat = len(segments), len(feature_cols)
+    if n_feat <= top_k:
+        return feature_cols.copy()
+    steps = 1 if top_k < n_seg else math.ceil(top_k / n_seg)
+    last_n = top_k % n_seg
+
+    seg_rank = {
+        s: sorted(feature_cols, key=lambda f: -rel[s].get(f, float("-inf")))
+        for s in segments
+    }
+    feat_rank = {
+        f: sorted(segments, key=lambda s: -rel[s].get(f, float("-inf")))
+        for f in feature_cols
+    }
+    selected: list[str] = []
+    for step in range(steps):
+        matches = _gale_shapley_match(seg_rank, feat_rank)
+        if step == steps - 1 and last_n != 0:
+            chosen = sorted(
+                matches.items(), key=lambda kv: -rel[kv[0]].get(kv[1], 0.0)
+            )
+            picked = [f for _, f in chosen][:last_n]
+        elif step == steps - 1 and top_k < n_seg:
+            chosen = sorted(
+                matches.items(), key=lambda kv: -rel[kv[0]].get(kv[1], 0.0)
+            )
+            picked = [f for _, f in chosen][:top_k]
+        else:
+            picked = list(matches.values())
+        # dedupe preserving order (stable matching makes them unique anyway)
+        for f in picked:
+            if f not in selected:
+                selected.append(f)
+        for s in seg_rank:
+            seg_rank[s] = [f for f in seg_rank[s] if f not in selected]
+    return selected[:top_k]

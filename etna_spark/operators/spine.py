@@ -33,21 +33,36 @@ def calendar_spine(
     tier: str,
     series_cols: Sequence[str] = ("source",),
     ts_col: str = "bucket_ts",
+    per_series: bool = False,
 ) -> DataFrame:
-    """Dense (series..., bucket_ts) grid over the global [min, max] range."""
+    """Dense (series..., bucket_ts) grid.
+
+    ``per_series=False`` (default): every series spans the GLOBAL
+    [min, max] — the reference's shared wide-frame index. At web scale with
+    many short-lived series this materializes #series × global-range rows;
+    ``per_series=True`` builds each series' grid over ITS OWN [min, max]
+    (the misalignment-tolerant variant) — spine size = Σ per-series spans,
+    the scale-correct choice when series lifetimes vary wildly."""
     step_seconds, _ = TIERS[tier]
-    bounds = tier_df.agg(
-        F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
-    )
-    series = tier_df.select(*series_cols).distinct()
-    # the distinct() output is tiny (one row per series) and AQE coalesces it
-    # to ~1 partition — but each row EXPLODES into the full bucket range, so
+    if per_series:
+        series = tier_df.groupBy(*series_cols).agg(
+            F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
+        )
+    else:
+        bounds = tier_df.agg(
+            F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
+        )
+        series = tier_df.select(*series_cols).distinct()
+    # the per-series frame is tiny (one row per series) and AQE coalesces it
+    # to ~1 partition — but each row EXPLODES into a full bucket range, so
     # leaving it coalesced would build the whole spine in one task. Spread the
     # series across the configured shuffle parallelism first (explicit N so
     # AQE doesn't re-coalesce the exchange).
     n_part = int(tier_df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     series = series.repartition(n_part, *series_cols)
-    spine = series.crossJoin(F.broadcast(bounds)).select(
+    if not per_series:
+        series = series.crossJoin(F.broadcast(bounds))
+    spine = series.select(
         *series_cols,
         F.explode(
             F.sequence(
@@ -65,10 +80,11 @@ def regularize(
     tier: str,
     series_cols: Sequence[str] = ("source",),
     ts_col: str = "bucket_ts",
+    per_series: bool = False,
 ) -> DataFrame:
     """Left-join tier rows onto the dense spine; missing buckets become null
     rows — the Spark twin of ETNA's ``asfreq`` gap materialization."""
-    spine = calendar_spine(tier_df, tier, series_cols, ts_col)
+    spine = calendar_spine(tier_df, tier, series_cols, ts_col, per_series)
     return spine.join(tier_df, on=[*series_cols, ts_col], how="left")
 
 

@@ -124,3 +124,17 @@ def test_not_fitted_raises(spark):
     df = _pw_df(spark, n_series=1)
     with pytest.raises(ValueError, match="not fitted"):
         ChangePointsTrend(series_cols=("series",)).transform(df)
+
+
+def test_trend_transform_adds_feature_column(spark):
+    from etna_spark.operators.change_points import TrendTransform
+
+    df = _pw_df(spark, n_series=1)
+    t = TrendTransform(n_bkps=5, out_col="trend", series_cols=("series",),
+                       ts_col="ts", min_size=5).fit(df)
+    out = t.transform(df).toPandas()
+    assert "trend" in out.columns and "value" in out.columns
+    # trend tracks the piecewise-linear signal closely
+    np.testing.assert_allclose(out["trend"], out["value"], atol=2.0)
+    # irreversible: inverse is a no-op
+    assert t.inverse_transform(df) is df

@@ -100,3 +100,28 @@ def test_tree_importance_select_spark(spark, regressors_df):
         regressors_df, FEATURES, "target", top_k=2, n_estimators=30, seed=0,
     )
     assert set(sel) <= {"useful_0", "useful_1", "dup"}
+
+
+def test_gale_shapley_select(spark, regressors_df):
+    from etna_spark.operators.feature_selection import gale_shapley_select
+
+    sel = gale_shapley_select(
+        regressors_df, FEATURES, "target", top_k=3, series_cols=("series",)
+    )
+    assert len(sel) == 3 and len(set(sel)) == 3
+    # the highly relevant family dominates the selection
+    assert len(set(sel) & {"useful_0", "useful_1", "dup"}) >= 2
+    # deterministic
+    sel2 = gale_shapley_select(
+        regressors_df, FEATURES, "target", top_k=3, series_cols=("series",)
+    )
+    assert sel == sel2
+
+
+def test_gale_shapley_top_k_ge_features(spark, regressors_df):
+    from etna_spark.operators.feature_selection import gale_shapley_select
+
+    sel = gale_shapley_select(
+        regressors_df, FEATURES, "target", top_k=10, series_cols=("series",)
+    )
+    assert sel == FEATURES

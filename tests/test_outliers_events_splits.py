@@ -172,3 +172,26 @@ def test_backtest_folds(spark):
     all_test = [apply_fold(df, f, ts_col="ts")[1] for f in folds]
     total = sum(t.count() for t in all_test)
     assert total == 12
+
+
+def test_per_series_spine_spans_own_range_only(spark):
+    """calendar_spine(per_series=True): short-lived series don't inherit the
+    global range (the Σ-spans scale fix for wildly varying lifetimes)."""
+    import datetime as dt
+
+    from etna_spark.operators.spine import calendar_spine, regularize
+
+    t0 = dt.datetime(2021, 1, 1)
+    rows = [
+        ("long", t0, 1.0), ("long", t0 + dt.timedelta(days=99), 2.0),
+        ("short", t0 + dt.timedelta(days=40), 3.0),
+        ("short", t0 + dt.timedelta(days=49), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "source string, bucket_ts timestamp, v double")
+    g = calendar_spine(df, "1d")
+    p = calendar_spine(df, "1d", per_series=True)
+    assert g.count() == 200      # 2 series × global 100 days
+    assert p.count() == 110      # 100 + 10
+    reg = regularize(df, "1d", per_series=True)
+    assert reg.count() == 110
+    assert reg.filter("source = 'short' and v is null").count() == 8
