@@ -95,3 +95,96 @@ def fourier_decompose(
         kern, f"{key_schema}, {ts_col} {ts_type}, {comps_schema}"
     )
     return df.join(comp_df, on=[*keys, ts_col], how="left")
+
+
+def model_decompose(
+    df: DataFrame,
+    model: str = "stl",
+    in_col: str = "value",
+    residuals: bool = False,
+    period: int = 24,
+    window: int = 5,
+    seasonality: int = 1,
+    robust: bool = False,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ModelDecomposeTransform (reference decomposition/model_based.py:42):
+    per-series decomposition via the engine's own models — in-sample only,
+    NaN outside the fitted range, optional residuals so components sum back
+    to the series.
+
+    Models (the reference's statsmodels/prophet zoo is unavailable; these
+    are the engine's numpy equivalents):
+    - 'stl':  components = target_seasonality + target_trend (Cleveland STL,
+      operators/stl.py);
+    - 'holt': component = target_level (additive-trend exponential smoothing
+      in-sample one-step prediction);
+    - 'sma':  component = target_prediction (seasonal moving average
+      in-sample one-step prediction, plans/pipeline.py kernel).
+    """
+    from etna_spark.operators.stl import _fit_holt, stl_decompose
+
+    if model not in ("stl", "holt", "sma"):
+        raise ValueError(
+            f"Model type `{model}` is not supported! Supported: stl, holt, sma"
+        )
+    keys = list(series_cols)
+    if model == "stl":
+        comp_cols = ["target_seasonality", "target_trend"]
+    elif model == "holt":
+        comp_cols = ["target_level"]
+    else:
+        comp_cols = ["target_prediction"]
+    if residuals:
+        comp_cols = comp_cols + ["target_residuals"]
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        y = pdf[in_col].to_numpy(np.float64, na_value=np.nan)
+        out = pdf[[*keys, ts_col]].copy()
+        for c in comp_cols:
+            out[c] = np.nan
+        valid = np.flatnonzero(~np.isnan(y))
+        if len(valid) < 3:
+            return out
+        lo, hi = valid[0], valid[-1]
+        yy = y[lo : hi + 1]
+        if np.isnan(yy).any():
+            raise ValueError(
+                f"Feature `{in_col}` contains missing values in segments!"
+            )
+        if model == "stl":
+            season, trend, resid = stl_decompose(yy, period, robust=robust)
+            comps = [season, trend]
+            rr = resid
+        elif model == "holt":
+            pred, _ = _fit_holt(yy)
+            comps = [pred]
+            rr = yy - pred
+        else:  # sma in-sample one-step prediction
+            w, s = window, seasonality
+            pred = np.full(len(yy), np.nan)
+            for i in range(len(yy)):
+                idx = np.arange(i - s, i - s * (w + 1), -s)
+                idx = idx[idx >= 0]
+                if len(idx):
+                    pred[i] = np.nanmean(yy[idx])
+            comps = [pred]
+            with np.errstate(invalid="ignore"):
+                rr = yy - pred
+        for i, c in enumerate(comp_cols):
+            col = np.full(len(y), np.nan)
+            col[lo : hi + 1] = comps[i] if i < len(comps) else rr
+            out[c] = col
+        return out
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keys
+    )
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    comps_schema = ", ".join(f"{c} double" for c in comp_cols)
+    comp_df = df.groupBy(*keys).applyInPandas(
+        kern, f"{key_schema}, {ts_col} {ts_type}, {comps_schema}"
+    )
+    return df.join(comp_df, on=[*keys, ts_col], how="left")

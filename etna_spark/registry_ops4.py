@@ -132,11 +132,44 @@ def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", epoch())
 
 
-@register("outliers_density_1h", None)
+_DENSITY_SQL = _H_SERIES + """
+, pts AS (
+  SELECT event_type, bucket_ts, CAST(value_cents AS DOUBLE) AS v,
+    row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1 AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n,
+    stddev_pop(CAST(value_cents AS DOUBLE)) OVER (PARTITION BY event_type)
+      AS sd
+  FROM series
+), starts AS (
+  -- window start offsets s for each point i: s in [max(0, i-14), min(i, n-15)]
+  SELECT p.*, u.s
+  FROM pts p,
+    LATERAL (SELECT unnest(range(
+      greatest(0, p.rn - 14),
+      least(p.rn, greatest(p.n - 15, 0)) + 1)) AS s) u
+), counted AS (
+  SELECT st.event_type, st.bucket_ts, st.rn, st.s,
+    count(*) FILTER (
+      WHERE j.rn <> st.rn AND abs(j.v - st.v) < 3.0 * st.sd
+    ) AS n_close
+  FROM starts st
+  JOIN pts j ON j.event_type = st.event_type
+     AND j.rn >= st.s AND j.rn < st.s + 15
+  WHERE st.sd > 0  -- constant series produce no outliers (kernel semantics)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts
+FROM counted
+GROUP BY 1, 2
+HAVING max(n_close) < 3
+"""
+
+
+@register("outliers_density_1h", _DENSITY_SQL)
 def q_outliers_density(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Density rule (reference density_outliers.py:53-216): windowed-
-    neighbor counting is not reasonably SQL-expressible → rows-only;
-    golden-array semantics pinned in tests/test_outliers2.py."""
+    """Density rule (reference density_outliers.py:53-216) — the banded
+    neighbor-count kernel cross-checked against an explicit SQL expansion
+    (per-point window starts LATERAL-joined to in-window neighbors)."""
     from etna_spark.operators.outliers import detect_outliers_density
 
     s = _events_1h(spark, sf_dir).withColumn(
@@ -338,4 +371,33 @@ def q_fourier_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             (F.abs(F.col("v") - recon) < 1e-6).cast("int")
         ).alias("all_match"),
+    )
+
+
+@register("model_decompose_1h", None)
+def q_model_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ModelDecomposeTransform (reference decomposition/model_based.py:42),
+    STL model: LOESS is not SQL-expressible → rows-only, SELF-VERIFYING:
+    seasonality + trend + residuals must sum back to the series exactly."""
+    from etna_spark.operators.fourier_decompose import model_decompose
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("v"),
+    )
+    out = model_decompose(
+        s, model="stl", in_col="v", residuals=True, period=24,
+        series_cols=("event_type",), ts_col="bucket_ts",
+    )
+    recon = (
+        F.col("target_seasonality") + F.col("target_trend")
+        + F.col("target_residuals")
+    )
+    return out.filter(F.col("target_trend").isNotNull()).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n_points"),
+        F.min((F.abs(F.col("v") - recon) < 1e-6).cast("int")).alias(
+            "all_match"
+        ),
     )

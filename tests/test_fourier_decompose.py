@@ -99,3 +99,31 @@ def test_top_frequency_captures_dominant_wave(spark, wave_df):
     # energy but don't fully reconstruct their wave)
     resid = out["dft_residuals"].to_numpy()
     assert np.var(resid) < np.var(out["value"].to_numpy())
+
+
+@pytest.mark.parametrize("model,comp_cols", [
+    ("stl", ["target_seasonality", "target_trend"]),
+    ("holt", ["target_level"]),
+    ("sma", ["target_prediction"]),
+])
+def test_model_decompose_components_sum(spark, wave_df, model, comp_cols):
+    from etna_spark.operators.fourier_decompose import model_decompose
+
+    out = model_decompose(
+        wave_df, model=model, in_col="value", residuals=True, period=7,
+        series_cols=("series",), ts_col="ts",
+    ).toPandas()
+    for c in comp_cols + ["target_residuals"]:
+        assert c in out.columns
+    got = out[comp_cols + ["target_residuals"]].sum(axis=1, min_count=1)
+    mask = ~got.isna()
+    np.testing.assert_allclose(got[mask], out.loc[mask, "value"], rtol=1e-9)
+    # the model explains signal: residual var < series var
+    assert np.nanvar(out["target_residuals"]) < np.nanvar(out["value"])
+
+
+def test_model_decompose_rejects_unknown_model(spark, wave_df):
+    from etna_spark.operators.fourier_decompose import model_decompose
+
+    with pytest.raises(ValueError, match="not supported"):
+        model_decompose(wave_df, model="prophet")
