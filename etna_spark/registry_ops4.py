@@ -401,3 +401,79 @@ def q_model_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_match"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# label encoding + event proximity: pure window/join SQL — upgrade the
+# pytest-only components with real oracle twins
+# ---------------------------------------------------------------------------
+
+@register(
+    "label_encoder_docs",
+    """
+WITH m AS (
+  SELECT val, CAST(dense_rank() OVER (ORDER BY val) - 1 AS DOUBLE) AS code
+  FROM (SELECT DISTINCT lang AS val FROM documents WHERE lang IS NOT NULL)
+)
+SELECT d.doc_id, m.code AS lang_code
+FROM documents d LEFT JOIN m ON d.lang = m.val
+""",
+)
+def q_label_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LabelEncoderTransform (reference categorical.py:69-188): codes
+    0..n-1 over sorted fit categories."""
+    from etna_spark.operators.encoders import LabelEncoder
+    from etna_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = LabelEncoder(in_col="lang", out_col="lang_code",
+                       strategy="none").fit(docs)
+    return enc.transform(docs).select("doc_id", "lang_code")
+
+
+@register(
+    "event_proximity_1h",
+    _H_SERIES
+    + """
+, flagged AS (
+  SELECT event_type, bucket_ts,
+    CASE WHEN value_cents % 10 = 0 THEN 1 ELSE 0 END AS ev,
+    row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn
+  FROM series
+), dist AS (
+  SELECT event_type, bucket_ts, rn,
+    min(CASE WHEN ev = 1 THEN rn END) OVER (
+      PARTITION BY event_type ORDER BY rn
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) - rn AS d_pre,
+    rn - max(CASE WHEN ev = 1 THEN rn END) OVER (
+      PARTITION BY event_type ORDER BY rn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_post
+  FROM flagged
+)
+SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts,
+  round(CASE WHEN d_pre BETWEEN 1 AND 3 THEN 1.0 / d_pre ELSE 0.0 END, 6)
+    AS prox_pre,
+  round(CASE WHEN d_post BETWEEN 1 AND 2 THEN 1.0 / d_post ELSE 0.0 END, 6)
+    AS prox_post
+FROM dist
+""",
+)
+def q_event_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EventTransform distance mode (reference timestamp/event.py —
+    operators/events.py:23): proximity 1/d to the next/previous event
+    within n_pre=3 / n_post=2 steps; events derived deterministically
+    (value_cents % 10 == 0) so both engines see the same flags."""
+    from etna_spark.operators.events import event_transform
+
+    s = _events_1h(spark, sf_dir).withColumn(
+        "ev", (F.col("value_cents") % 10 == 0).cast("int")
+    )
+    out = event_transform(
+        s, in_col="ev", out_col="prox", n_pre=3, n_post=2, mode="distance",
+        series_cols=("event_type",), ts_col="bucket_ts",
+    )
+    return out.select(
+        "event_type", epoch(),
+        F.round("prox_pre", 6).alias("prox_pre"),
+        F.round("prox_post", 6).alias("prox_post"),
+    )

@@ -59,3 +59,35 @@ def test_stream_equals_batch(spark, tmp_path):
     horizon2 = max_ts2 - dt.timedelta(minutes=2)
     withheld2 = expected2.exceptAll(got2)
     assert withheld2.filter(F.col("bucket_ts") < F.lit(horizon2)).count() == 0
+
+
+def test_stream_output_feeds_batch_cascade(spark, tmp_path):
+    """The streaming 1m tier emits the FULL algebraic aggregate set, so the
+    batch 1h cascade consumes it unchanged and matches a pure-batch 1h
+    rollup on the closed windows (the module docstring's contract)."""
+    from etna_spark.operators.rollup import rollup_cascade
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    tt = token_table(spark, 2000, with_tokens=False)
+    tt.write.mode("overwrite").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    s = stream_rollup(spark, inp, schema, tier="1m", watermark="1 minute")
+    run_available_now(s, ckpt, out)
+
+    got_1m = spark.read.parquet(out)
+    got_1h = rollup_cascade(got_1m, "1h")           # must not raise
+    batch_1h = rollup_cascade(rollup(tt, "1m"), "1h")
+    # compare only fully-closed hours (every constituent 1m window emitted)
+    emitted_minutes = got_1m.count()
+    assert emitted_minutes > 0
+    closed = got_1h.join(
+        batch_1h.select("source", "bucket_ts", F.col("point_count").alias("_pc")),
+        on=["source", "bucket_ts"],
+    ).filter(F.col("point_count") == F.col("_pc")).drop("_pc")
+    cols = ["source", "bucket_ts", "point_count", "value_sum", "value_min",
+            "value_max", "value_sumsq"]
+    mismatch = closed.select(*cols).exceptAll(batch_1h.select(*cols))
+    assert mismatch.count() == 0
+    assert closed.count() > 0
