@@ -68,11 +68,23 @@ def cosine_topk_bruteforce(
 
 
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """sign(v · h_plane) with h derived from hash(plane, dim) ∈ {-1, +1}
-    scaled pseudo-weights — deterministic random hyperplane."""
+    """sign(v · h_plane) with pseudo-random plane weights from an ARITHMETIC
+    LCG hash of (plane, component) — deterministic, and exactly reproducible
+    in a DuckDB oracle (xxhash64 is not). Weight ∈ (-1, 1), sequential-fold
+    dot product so both engines sum in identical order."""
     weights = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (F.pmod(F.xxhash64(F.lit(plane), i), F.lit(1000)) - 499.5)
+        lambda i: (
+            F.pmod(
+                F.pmod(
+                    F.lit(1103515245).cast("long") * (F.lit(plane * dim) + i)
+                    + F.lit(12345),
+                    F.lit(2147483648),
+                ),
+                F.lit(1000),
+            )
+            - 499.5
+        )
         / 500.0,
     )
     return (

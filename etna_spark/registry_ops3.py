@@ -318,11 +318,58 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_hamming=16, prefix_bits=8, n_tables=4)
 
 
-@register("ann_cosine_lsh", None)
+_LSH_W = ("(((1103515245 * ({q} * 64 + i - 1) + 12345) % 2147483648) "
+          "% 1000 - 499.5) / 500.0")
+
+_ANN_LSH_SQL = f"""
+WITH sig AS (
+  SELECT e.vec_id, e.embedding, t.tbl,
+    CAST(list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 4),
+      p -> CASE WHEN list_reduce([0.0] || list_transform(range(1, 65),
+             i -> CAST(embedding[i] AS DOUBLE)
+                  * {_LSH_W.format(q='(t.tbl * 4 + p)')}),
+             (acc, x) -> acc + x) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END),
+      (acc, b) -> acc * 2 + b) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 4)) AS tbl) t
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.embedding AS qv, c.embedding AS cv
+  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.sig = c.sig
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS sim
+  FROM cand
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(sim, 5) AS cosine_sim,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_cosine_lsh", _ANN_LSH_SQL)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (similarity.py:88-145) with ARITHMETIC plane
+    weights, so the full signature→bucket-join→rescore pipeline has a
+    DuckDB twin (candidates, not just scores, are value-checked)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk_lsh(queries, emb, k=5, n_planes=4, n_tables=4)
+    out = cosine_topk_lsh(queries, emb, k=5, n_planes=4, n_tables=4)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine_sim", 5).alias("cosine_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 @register("imputer_seasonal_autoregressive", None)
