@@ -330,7 +330,6 @@ def encode_chunk(timestamps: np.ndarray, values: np.ndarray) -> bytes:
         is_new = np.zeros(m, dtype=bool)
         nz_idx = np.flatnonzero(nonzero)
         changes = 0
-        ok_cache: np.ndarray | None = None
         i = int(nz_idx[0]) if len(nz_idx) else m
         max_changes = 4096
         while i < m and changes <= max_changes:

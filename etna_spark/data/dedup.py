@@ -231,6 +231,8 @@ def simhash_pairs(
         raise ValueError("n_tables * prefix_bits must be <= 64")
     s = simhash64(df, id_col, text_col)
     mask = (1 << prefix_bits) - 1
+    if mask >= 1 << 63:
+        mask -= 1 << 64  # signed 64-bit pattern (prefix_bits == 64)
     slices = F.array(*[
         F.struct(
             F.lit(t).alias("_t"),

@@ -82,6 +82,7 @@ class ExogShiftAuto:
         step_seconds: int = 3600,
         series_cols: Sequence[str] = ("series",),
         ts_col: str = "ts",
+        target_col: str | None = None,
     ):
         if horizon < 1:
             raise ValueError(
@@ -93,6 +94,7 @@ class ExogShiftAuto:
         self.step_seconds = step_seconds
         self.series_cols = list(series_cols)
         self.ts_col = ts_col
+        self.target_col = target_col
         self.shifts: dict[str, int] | None = None
 
     def fit(self, df: DataFrame) -> "ExogShiftAuto":
@@ -101,10 +103,26 @@ class ExogShiftAuto:
             *[
                 F.min(F.col(c).isNotNull().cast("int")).alias(c)
                 for c in self.cols
-            ]
+            ],
+            *(
+                [F.max(F.col(self.target_col).isNotNull().cast("int"))
+                 .alias("_tgt")]
+                if self.target_col
+                else []
+            ),
+        )
+        # delta is measured against the TARGET's last timestamp (reference
+        # _estimate_shift: last_date = target frame index max) — an exog
+        # column known PAST the target end gets a NEGATIVE delta and may
+        # need no shift at all. Without target_col, the dataset max is used
+        # (every exog then shifts by >= horizon).
+        last_expr = (
+            F.max(F.when(F.col("_tgt") == 1, F.col(ts).cast("long")))
+            if self.target_col
+            else F.max(F.col(ts).cast("long"))
         )
         row = per_ts.agg(
-            F.max(F.col(ts).cast("long")).alias("_last"),
+            last_expr.alias("_last"),
             *[
                 F.max(F.when(F.col(c) == 1, F.col(ts).cast("long"))).alias(c)
                 for c in self.cols
@@ -116,7 +134,7 @@ class ExogShiftAuto:
             feat_last = row[c]
             delta = (
                 (last - feat_last) // self.step_seconds
-                if feat_last is not None
+                if feat_last is not None and last is not None
                 else 0
             )
             self.shifts[c] = max(0, int(delta) + self.horizon)

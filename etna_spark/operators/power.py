@@ -222,11 +222,18 @@ class PowerTransform:
         """Distributed grid MLE: three passes, each evaluating llf(λ) for a
         41-point grid with native aggregates only (no driver data)."""
         x = F.col(self.in_col)
+        base = df.filter(x.isNotNull())
         if self.method == "box-cox":
+            # fail like the per-segment path/sklearn — under ANSI, log(x<=0)
+            # is NULL and would silently mis-fit lambda otherwise
+            if base.filter(x <= 0).limit(1).count() > 0:
+                raise ValueError(
+                    "The Box-Cox transformation can only be applied to "
+                    "strictly positive data"
+                )
             const_expr = F.sum(F.log(x))
         else:
             const_expr = F.sum(F.signum(x) * F.log1p(F.abs(x)))
-        base = df.filter(x.isNotNull())
         row = base.agg(
             const_expr.alias("c"), F.count(x).alias("n")
         ).collect()[0]

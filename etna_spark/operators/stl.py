@@ -126,6 +126,11 @@ def stl_decompose(
     n = len(y)
     if period < 2:
         raise ValueError("period must be >= 2")
+    if n < 2 * period:
+        raise ValueError(
+            f"series is too short for STL: {n} observations < 2 full "
+            f"periods ({2 * period})"
+        )
     if trend is None:
         trend = _next_odd(1.5 * period / (1.0 - 1.5 / seasonal))
     if low_pass is None:

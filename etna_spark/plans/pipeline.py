@@ -94,9 +94,30 @@ class Pipeline:
         self._train = cur
         return self
 
-    def forecast(self) -> DataFrame:
+    def forecast(
+        self,
+        prediction_interval: bool = False,
+        quantiles: Sequence[float] = (0.025, 0.975),
+        n_folds: int = 3,
+        return_components: bool = False,
+    ) -> DataFrame:
         """Forecast ``horizon`` steps per series; reversible transforms are
-        unwound in reverse order on the result."""
+        unwound in reverse order on the result.
+
+        ``prediction_interval=True`` mirrors the reference's
+        BasePipeline._forecast_prediction_interval
+        (/root/reference/etna/pipeline/base.py:447-497): per-series residual
+        σ from ``n_folds`` historical rolling-origin forecasts, quantile
+        columns ``{in_col}_{q:.4g}`` = forecast + σ·Φ⁻¹(q). σ uses exact
+        sufficient statistics (n·Σr² − (Σr)²), one aggregation, broadcast
+        back — no driver data.
+
+        ``return_components=True`` mirrors
+        SeasonalMovingAverageModel._predict_components
+        (/root/reference/etna/models/seasonal_ma.py:96-128): columns
+        ``{in_col}_component_lag_{l}`` = lag-l value of the (forecast-
+        extended) series / window, summing exactly to the forecast.
+        """
         if self._train is None:
             raise ValueError("Pipeline is not fitted!")
         train = self._train
@@ -114,37 +135,63 @@ class Pipeline:
         )
         ctx = train.select(*self.series_cols, ts_col, in_col)
         full = ctx.unionByName(future)
-        schema = full.schema
+        lags = (
+            list(range(model.seasonality, model.context_size + 1,
+                       model.seasonality))
+            if return_components
+            else []
+        )
+        comp_cols = [f"{in_col}_component_lag_{lag}" for lag in lags]
+        schema_ddl = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in full.schema]
+            + [f"`{c}` double" for c in comp_cols]
+        )
+        window = model.window
 
         def fc(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
             y = pdf[in_col].to_numpy(np.float64, na_value=np.nan)
             hist = y[:-horizon]
-            pdf.loc[pdf.index[-horizon:], in_col] = model.kernel(hist, horizon)
+            preds = model.kernel(hist, horizon)
+            pdf.loc[pdf.index[-horizon:], in_col] = preds
+            if lags:
+                y_full = np.concatenate([hist, preds])
+                n = len(hist)
+                for lag, c in zip(lags, comp_cols):
+                    idx = np.arange(n, n + horizon) - lag
+                    pdf[c] = np.nan
+                    pdf.loc[pdf.index[-horizon:], c] = y_full[idx] / window
             return pdf.iloc[-horizon:]
 
-        result = full.groupBy(*self.series_cols).applyInPandas(fc, schema)
+        result = full.groupBy(*self.series_cols).applyInPandas(fc, schema_ddl)
+        if prediction_interval:
+            result = self._add_forecast_borders(result, quantiles, n_folds)
         for t in reversed(self.transforms):
             if hasattr(t, "inverse_transform"):
                 result = t.inverse_transform(result)
         return result
 
-    def backtest(
-        self,
-        df: DataFrame,
-        metrics: Sequence[str] = ("mae", "mse", "smape"),
-        n_folds: int = 3,
-        stride: int | None = None,
+    def get_historical_forecasts(
+        self, df: DataFrame, n_folds: int = 3, stride: int | None = None
     ) -> DataFrame:
-        """Rolling-origin evaluation; returns per-(fold, series) metrics."""
+        """Rolling-origin in-sample forecasts (reference base.py:451 /
+        get_historical_forecasts): union over folds of
+        (series, ts, actual ``in_col``, prediction, fold)."""
+        out = None
+        for fold, joined in self._fold_forecasts(df, n_folds, stride):
+            j = joined.withColumn("fold", F.lit(fold))
+            out = j if out is None else out.unionByName(j)
+        return out
+
+    def _fold_forecasts(self, df, n_folds, stride):
         bounds = df.agg(
             F.min(self.ts_col).alias("mn"), F.max(self.ts_col).alias("mx")
         ).collect()[0]
         folds = generate_folds(
             bounds["mx"], n_folds=n_folds, horizon=self.horizon,
-            step_seconds=self.step_seconds, stride=stride, first_ts=bounds["mn"],
+            step_seconds=self.step_seconds, stride=stride,
+            first_ts=bounds["mn"],
         )
-        results = []
         for fold in folds:
             train, test = apply_fold(df, fold, ts_col=self.ts_col)
             p = Pipeline(
@@ -157,11 +204,78 @@ class Pipeline:
                 *self.series_cols, self.ts_col,
                 F.col(self.in_col).alias("prediction"),
             )
-            joined = test.join(fc, on=[*self.series_cols, self.ts_col])
+            yield fold["fold"], test.select(
+                *self.series_cols, self.ts_col, self.in_col
+            ).join(fc, on=[*self.series_cols, self.ts_col])
+
+    def _add_forecast_borders(
+        self, predictions: DataFrame, quantiles: Sequence[float], n_folds: int
+    ) -> DataFrame:
+        """Reference base.py:476-497: σ = nanstd of historical-forecast
+        residuals per series; border_q = prediction + σ·Φ⁻¹(q), named
+        ``{in_col}_{q:.4g}``. Exact sufficient statistics keep σ
+        deterministic under any aggregation order when residuals are
+        integer-valued (the engine's cents/token counts)."""
+        from etna_spark.operators.outliers import _norm_ppf
+
+        from etna_spark.plans.state import materialize
+
+        hist = self.get_historical_forecasts(self._train, n_folds=n_folds)
+        # the applyInPandas kernel emits NaN (not NULL) when a fold lacks
+        # context — nanvl maps those to NULL so count/sum skip them instead
+        # of poisoning sigma
+        r = F.nanvl(
+            F.col("prediction") - F.col(self.in_col),
+            F.lit(None).cast("double"),
+        )
+        # materialize: the stats table is tiny (one row per series) but its
+        # lineage re-runs every fold's fit+forecast — pin it once
+        # aggregate UNfiltered so a series whose residuals are all NULL
+        # still yields a row (n=0) and trips the <2 validation below,
+        # matching the reference's per-segment non_nan_counts check
+        stats = materialize(
+            hist.groupBy(*self.series_cols).agg(
+                F.count(r).alias("_n"),
+                F.sum(r).alias("_s"),
+                F.sum(r * r).alias("_ss"),
+            )
+        )
+        low = stats.filter(F.col("_n") < 2).limit(1).count()
+        if low > 0:
+            raise ValueError(
+                "There aren't enough target values to evaluate prediction "
+                "intervals on history! For each segment there should be at "
+                "least 2 points with defined value. You can try to increase "
+                "n_folds parameter to make time span bigger."
+            )
+        sig = stats.select(
+            *self.series_cols,
+            (F.sqrt(F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s"))
+             / F.col("_n")).alias("_sigma"),
+        )
+        out = predictions.join(F.broadcast(sig), on=list(self.series_cols))
+        for q in quantiles:
+            z = _norm_ppf(q)
+            out = out.withColumn(
+                f"{self.in_col}_{q:.4g}",
+                F.col(self.in_col) + F.lit(z) * F.col("_sigma"),
+            )
+        return out.drop("_sigma")
+
+    def backtest(
+        self,
+        df: DataFrame,
+        metrics: Sequence[str] = ("mae", "mse", "smape"),
+        n_folds: int = 3,
+        stride: int | None = None,
+    ) -> DataFrame:
+        """Rolling-origin evaluation; returns per-(fold, series) metrics."""
+        results = []
+        for fold, joined in self._fold_forecasts(df, n_folds, stride):
             m = compute_metrics(
                 joined, true_col=self.in_col, pred_col="prediction",
                 metrics=metrics, series_cols=self.series_cols, ts_col=self.ts_col,
-            ).withColumn("fold", F.lit(fold["fold"]))
+            ).withColumn("fold", F.lit(fold))
             results.append(m)
         out = results[0]
         for r in results[1:]:

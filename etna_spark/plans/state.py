@@ -11,7 +11,9 @@ a join chooses broadcast) is handled by Spark's own size-limited machinery.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -36,9 +38,13 @@ def materialize(df: DataFrame) -> DataFrame:
     """
     global _STATE_ROOT
     if _STATE_ROOT is None:
-        _STATE_ROOT = os.environ.get("SPARK_GRAFT_STATE_DIR") or tempfile.mkdtemp(
-            prefix="etna_spark_state-"
-        )
+        explicit = os.environ.get("SPARK_GRAFT_STATE_DIR")
+        _STATE_ROOT = explicit or tempfile.mkdtemp(prefix="etna_spark_state-")
+        if not explicit:
+            # best-effort retention: session-scoped temp state is deleted at
+            # interpreter exit (an explicit SPARK_GRAFT_STATE_DIR is durable
+            # checkpoint storage and is left alone)
+            atexit.register(shutil.rmtree, _STATE_ROOT, ignore_errors=True)
     path = os.path.join(_STATE_ROOT, uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

@@ -331,3 +331,4 @@ def _load_extra_registries() -> None:
     import etna_spark.registry_ops2  # noqa: F401
     import etna_spark.registry_ops3  # noqa: F401
     import etna_spark.registry_ops4  # noqa: F401
+    import etna_spark.registry_ops5  # noqa: F401

@@ -202,7 +202,11 @@ def q_gorilla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     match = (
         orig.join(dec, on=["source", "bucket_ts"], how="full")
-        .withColumn("_ok", (orig["v"] == dec["v"]).cast("int"))
+        # coalesce to 0: a full-join miss (row lost/invented by the codec)
+        # yields NULL, which F.min would silently skip — it must FAIL
+        .withColumn(
+            "_ok", F.coalesce((orig["v"] == dec["v"]).cast("int"), F.lit(0))
+        )
         .groupBy("source")
         .agg(F.count("*").alias("n_points"), F.min("_ok").alias("all_match"))
     )
@@ -488,18 +492,29 @@ def q_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bucket_ts", F.col("v").alias("resid")
     )
     back = t.inverse_transform(resid.withColumnRenamed("resid", "v"))
+    # left join from the input + coalesce-to-0: a row the inverse DROPS or
+    # NULLs must flip all_match to 0 (F.min would skip a NULL comparison);
+    # detrend_gain = stddev(raw)/stddev(resid) is the non-tautological
+    # check — a wrongly-fitted state reconstructs fine but leaves resid
+    # variance ~= raw variance (gain ~1), a real fit gives gain >> 1
     joined = dense.select("event_type", "bucket_ts", "v").join(
         back.select(
             "event_type", "bucket_ts", F.col("v").alias("v_back")
         ),
         on=["event_type", "bucket_ts"],
+        how="left",
+    ).join(
+        resid.select("event_type", "bucket_ts", "resid"),
+        on=["event_type", "bucket_ts"],
+        how="left",
     )
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n_points"),
-        F.min(
-            (F.abs(F.col("v") - F.col("v_back")) < 1e-6).cast("int")
-        ).alias("all_match"),
-        F.round(F.stddev_pop("v") / F.stddev_pop("v_back"), 6).alias(
-            "stddev_ratio"
+        F.min(F.coalesce(
+            (F.abs(F.col("v") - F.col("v_back")) < 1e-6).cast("int"),
+            F.lit(0),
+        )).alias("all_match"),
+        F.round(F.stddev_pop("v") / F.stddev_pop("resid"), 4).alias(
+            "detrend_gain"
         ),
     )

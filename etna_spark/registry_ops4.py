@@ -302,17 +302,31 @@ def q_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(s)
     resid = t.transform(s).withColumnRenamed("v", "resid")
     back = t.inverse_transform(resid.withColumnRenamed("resid", "v"))
+    # left join + coalesce-to-0 so dropped/NULLed reconstruction rows FAIL
+    # (F.min skips NULL); detrend_gain = stddev(raw)/stddev(resid) is the
+    # non-tautological fit check — inverse(transform(x)) == x holds for any
+    # state, but only a correctly-fitted piecewise trend shrinks residual
+    # variance (gain >> 1)
     joined = s.join(
         back.select("event_type", "bucket_ts", F.col("v").alias("v_back")),
         on=["event_type", "bucket_ts"],
+        how="left",
+    ).join(
+        resid.select("event_type", "bucket_ts", "resid"),
+        on=["event_type", "bucket_ts"],
+        how="left",
     )
     n_itv = t._state.groupBy("event_type").agg(
         F.count("*").alias("n_intervals")
     )
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n_points"),
-        F.min((F.abs(F.col("v") - F.col("v_back")) < 1e-6).cast("int")).alias(
-            "all_match"
+        F.min(F.coalesce(
+            (F.abs(F.col("v") - F.col("v_back")) < 1e-6).cast("int"),
+            F.lit(0),
+        )).alias("all_match"),
+        F.round(F.stddev_pop("v") / F.stddev_pop("resid"), 4).alias(
+            "detrend_gain"
         ),
     ).join(n_itv, on="event_type")
 
@@ -368,9 +382,11 @@ def q_fourier_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_points"),
-        F.min(
-            (F.abs(F.col("v") - recon) < 1e-6).cast("int")
-        ).alias("all_match"),
+        # coalesce: a NULL component makes the comparison NULL, which F.min
+        # would skip — it must count as a mismatch
+        F.min(F.coalesce(
+            (F.abs(F.col("v") - recon) < 1e-6).cast("int"), F.lit(0)
+        )).alias("all_match"),
     )
 
 
@@ -393,13 +409,18 @@ def q_model_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target_seasonality") + F.col("target_trend")
         + F.col("target_residuals")
     )
-    return out.filter(F.col("target_trend").isNotNull()).groupBy(
-        "event_type"
-    ).agg(
-        F.count("*").alias("n_points"),
-        F.min((F.abs(F.col("v") - recon) < 1e-6).cast("int")).alias(
-            "all_match"
-        ),
+    # n_null is reported (not filtered away) so a regression that NULLs the
+    # components everywhere cannot pass with a tiny n_points; coalesce makes
+    # a NULL comparison a mismatch rather than a F.min skip
+    return out.groupBy("event_type").agg(
+        F.count(F.when(F.col("target_trend").isNull(), 1)).alias("n_null"),
+        F.count(F.col("target_trend")).alias("n_points"),
+        F.min(F.when(
+            F.col("target_trend").isNotNull(),
+            F.coalesce(
+                (F.abs(F.col("v") - recon) < 1e-6).cast("int"), F.lit(0)
+            ),
+        )).alias("all_match"),
     )
 
 

@@ -1,0 +1,163 @@
+"""Registry entries: Pipeline prediction intervals + forecast components.
+
+Oracle strategy (cross-engine float discipline per MEMORY): the naive /
+seasonal-moving-average forecasts over integer-cent series are exact in
+double; residual sigma uses integer-exact sufficient statistics
+sqrt(n·Σr² − (Σr)²)/n so any aggregation order yields the same bits; the
+Φ⁻¹ quantile constants are inlined as full-precision literals; every float
+output is round(x, 6) in both engines with identical op sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etna_spark.registry import epoch, register
+from etna_spark.registry_ops2 import _events_1h
+from etna_spark.operators.spine import ffill, regularize
+
+# dense hourly event series, forward-filled, leading nulls dropped — the
+# shared fixture for forecast entries (same shape as the stl/gapfill ones)
+_DENSE_1H = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg
+), spine AS (
+  SELECT et.event_type, g.bucket_ts
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+              FROM bounds) g
+), filled AS (
+  SELECT event_type, bucket_ts,
+         last_value(value_cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM spine LEFT JOIN agg USING (event_type, bucket_ts)
+), d AS (
+  SELECT event_type, bucket_ts, v FROM filled WHERE v IS NOT NULL
+), fut AS (
+  SELECT et.event_type, j
+  FROM (SELECT DISTINCT event_type FROM d) et
+  CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS j)
+)
+"""
+
+_Z975 = 1.959963986120195  # _norm_ppf(0.975); _norm_ppf(0.025) is its exact negation
+
+
+def _dense_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("v"),
+    )
+    return ffill(
+        regularize(s, "1h", series_cols=("event_type",), ts_col="bucket_ts"),
+        ["v"], series_cols=("event_type",), ts_col="bucket_ts",
+    ).filter(F.col("v").isNotNull())
+
+
+@register(
+    "forecast_interval_naive_1h",
+    _DENSE_1H
+    + """
+, preds AS (
+  SELECT f.event_type,
+         CAST(epoch(b.mx + INTERVAL 1 HOUR * f.j) AS BIGINT) AS bucket_ts,
+         CAST(p.v AS DOUBLE) AS pred
+  FROM fut f CROSS JOIN bounds b
+  LEFT JOIN d p ON p.event_type = f.event_type
+               AND p.bucket_ts = b.mx - INTERVAL 1 HOUR * (24 - f.j)
+), resid AS (
+  SELECT t.event_type, CAST(p.v AS DOUBLE) - CAST(t.v AS DOUBLE) AS r
+  FROM d t CROSS JOIN bounds b
+  LEFT JOIN d p ON p.event_type = t.event_type
+               AND p.bucket_ts = t.bucket_ts - INTERVAL 24 HOUR
+  WHERE t.bucket_ts > b.mx - INTERVAL 18 HOUR
+), sig AS (
+  SELECT event_type,
+         sqrt(CAST(count(r) AS DOUBLE) * CAST(sum(r * r) AS DOUBLE)
+              - CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE))
+           / count(r) AS sigma
+  FROM resid GROUP BY 1
+)
+SELECT p.event_type, p.bucket_ts,
+  round(p.pred, 6) AS pred,
+  round(p.pred + (-1.959963986120195) * s.sigma, 6) AS lo,
+  round(p.pred + (1.959963986120195) * s.sigma, 6) AS hi
+FROM preds p JOIN sig s USING (event_type)
+""",
+)
+def q_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline.forecast(prediction_interval=True) end-to-end (reference
+    pipeline/base.py:447-497 + models/naive.py:7): seasonal-naive lag-24
+    forecast, horizon 6, sigma from 3 rolling-origin folds (last 18 hours),
+    borders pred ± 1.96·sigma. The oracle replays the fold algebra in SQL:
+    with seasonality ≥ horizon the recursion collapses to a pure time lag."""
+    from etna_spark.plans.pipeline import Pipeline, naive_model
+
+    dense = _dense_1h(spark, sf_dir)
+    p = Pipeline(
+        model=naive_model(24), horizon=6, step_seconds=3600,
+        in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit(dense)
+    out = p.forecast(
+        prediction_interval=True, quantiles=(0.025, 0.975), n_folds=3
+    )
+    return out.select(
+        "event_type", epoch(),
+        F.round("v", 6).alias("pred"),
+        F.round(F.col("`v_0.025`"), 6).alias("lo"),
+        F.round(F.col("`v_0.975`"), 6).alias("hi"),
+    )
+
+
+@register(
+    "forecast_components_sma_1h",
+    _DENSE_1H
+    + """
+SELECT f.event_type,
+  CAST(epoch(b.mx + INTERVAL 1 HOUR * f.j) AS BIGINT) AS bucket_ts,
+  round((CAST(p24.v AS DOUBLE) + CAST(p48.v AS DOUBLE)) / 2.0, 6) AS pred,
+  round(CAST(p24.v AS DOUBLE) / 2.0, 6) AS comp_lag_24,
+  round(CAST(p48.v AS DOUBLE) / 2.0, 6) AS comp_lag_48
+FROM fut f CROSS JOIN bounds b
+LEFT JOIN d p24 ON p24.event_type = f.event_type
+               AND p24.bucket_ts = b.mx - INTERVAL 1 HOUR * (24 - f.j)
+LEFT JOIN d p48 ON p48.event_type = f.event_type
+               AND p48.bucket_ts = b.mx - INTERVAL 1 HOUR * (48 - f.j)
+""",
+)
+def q_forecast_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SeasonalMovingAverageModel(window=2, seasonality=24) forecast with
+    target components (reference models/seasonal_ma.py:96-128) — each
+    component is the lag/window share and they sum to the forecast. The
+    result is routed through add_target_components
+    (datasets/tsdataset.py:1457-1494) so its sum-to-target validation runs
+    inside the driver-checked entry."""
+    from etna_spark.operators.components import add_target_components
+    from etna_spark.plans.pipeline import Pipeline, SeasonalMovingAverageModel
+
+    dense = _dense_1h(spark, sf_dir)
+    p = Pipeline(
+        model=SeasonalMovingAverageModel(window=2, seasonality=24),
+        horizon=6, step_seconds=3600,
+        in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit(dense)
+    out = p.forecast(return_components=True)
+    comps = out.select(
+        "event_type", "bucket_ts", "v_component_lag_24", "v_component_lag_48"
+    )
+    validated = add_target_components(
+        out.select("event_type", "bucket_ts", "v"), comps,
+        target_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+    )
+    return validated.select(
+        "event_type", epoch(),
+        F.round("v", 6).alias("pred"),
+        F.round("v_component_lag_24", 6).alias("comp_lag_24"),
+        F.round("v_component_lag_48", 6).alias("comp_lag_48"),
+    )

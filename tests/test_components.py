@@ -1,0 +1,190 @@
+"""Target-component / prediction-interval column machinery + Pipeline
+intervals (reference datasets/utils.py:272-281, tsdataset.py:1457-1565,
+pipeline/base.py:447-497, models/seasonal_ma.py:96-128)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etna_spark.operators.components import (
+    add_prediction_intervals,
+    add_target_components,
+    drop_prediction_intervals,
+    drop_target_components,
+    get_prediction_intervals,
+    get_target_components,
+    match_target_components,
+    match_target_quantiles,
+)
+from etna_spark.plans.pipeline import (
+    Pipeline,
+    SeasonalMovingAverageModel,
+    naive_model,
+)
+
+START = dt.datetime(2021, 1, 1)
+
+
+def test_match_helpers():
+    feats = [
+        "target", "target_0.025", "target_0.975", "target_component_lag_1",
+        "target_component_lag_7", "exog", "target_shift_3", "target_1",
+    ]
+    assert match_target_quantiles(feats) == {"target_0.025", "target_0.975"}
+    assert match_target_components(feats) == {
+        "target_component_lag_1", "target_component_lag_7"
+    }
+
+
+@pytest.fixture()
+def base_df(spark):
+    rows = [
+        ("a", START + dt.timedelta(days=i), float(10 + i)) for i in range(4)
+    ] + [
+        ("b", START + dt.timedelta(days=i), float(20 + 2 * i)) for i in range(4)
+    ]
+    return spark.createDataFrame(rows, "series string, ts timestamp, target double")
+
+
+def _components_df(spark, base_rows, split=0.25):
+    rows = [
+        (s, ts, v * split, v * (1 - split)) for s, ts, v in base_rows
+    ]
+    return spark.createDataFrame(
+        rows,
+        "series string, ts timestamp, target_component_a double, "
+        "target_component_b double",
+    )
+
+
+def test_add_get_drop_target_components(spark, base_df):
+    comp = _components_df(
+        spark, [(r["series"], r["ts"], r["target"]) for r in base_df.collect()]
+    )
+    out = add_target_components(base_df, comp)
+    assert set(out.columns) >= {"target_component_a", "target_component_b"}
+    got = get_target_components(out)
+    assert got.count() == 8
+    dropped = drop_target_components(out)
+    assert match_target_components(dropped.columns) == set()
+    assert get_target_components(dropped) is None
+    # duplicate add raises
+    with pytest.raises(ValueError, match="already contains target components"):
+        add_target_components(out, comp)
+
+
+def test_components_must_sum_to_target(spark, base_df):
+    rows = [(r["series"], r["ts"], r["target"]) for r in base_df.collect()]
+    bad = _components_df(spark, rows).withColumn(
+        "target_component_a", F.col("target_component_a") + 0.5
+    )
+    with pytest.raises(ValueError, match="don't sum up to target"):
+        add_target_components(base_df, bad)
+
+
+def test_missing_component_rows_are_violations(spark, base_df):
+    rows = [(r["series"], r["ts"], r["target"]) for r in base_df.collect()]
+    partial = _components_df(spark, rows[:-1])  # one row missing
+    with pytest.raises(ValueError, match="don't sum up to target"):
+        add_target_components(base_df, partial)
+
+
+def test_add_get_drop_prediction_intervals(spark, base_df):
+    iv = base_df.select(
+        "series", "ts",
+        (F.col("target") - 1).alias("target_0.025"),
+        (F.col("target") + 1).alias("target_0.975"),
+    )
+    out = add_prediction_intervals(base_df, iv)
+    assert get_prediction_intervals(out).count() == 8
+    with pytest.raises(ValueError, match="already contains prediction"):
+        add_prediction_intervals(out, iv)
+    dropped = drop_prediction_intervals(out)
+    assert match_target_quantiles(dropped.columns) == set()
+    assert get_prediction_intervals(dropped) is None
+
+
+@pytest.fixture()
+def daily_df(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for s, base in (("a", 100.0), ("b", 50.0)):
+        for i in range(60):
+            v = base + 10 * np.sin(2 * np.pi * i / 7) + rng.normal(0, 1)
+            rows.append((s, START + dt.timedelta(days=i), float(round(v))))
+    return spark.createDataFrame(rows, "series string, ts timestamp, value double")
+
+
+def test_forecast_prediction_interval(spark, daily_df):
+    p = Pipeline(
+        model=naive_model(7), horizon=7, step_seconds=86400,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    ).fit(daily_df)
+    out = p.forecast(prediction_interval=True, n_folds=3).toPandas()
+    assert {"value_0.025", "value_0.975"} <= set(out.columns)
+    assert len(out) == 14  # 2 series × 7 steps
+    assert (out["value_0.025"] <= out["value"]).all()
+    assert (out["value"] <= out["value_0.975"]).all()
+    # symmetric normal borders around the point forecast
+    np.testing.assert_allclose(
+        out["value"] - out["value_0.025"],
+        out["value_0.975"] - out["value"],
+        rtol=1e-9,
+    )
+    # sigma strictly positive on noisy data
+    assert (out["value_0.975"] > out["value"]).all()
+
+
+def test_forecast_interval_sigma_matches_numpy(spark, daily_df):
+    p = Pipeline(
+        model=naive_model(7), horizon=7, step_seconds=86400,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    ).fit(daily_df)
+    hist = p.get_historical_forecasts(daily_df, n_folds=3).toPandas()
+    out = p.forecast(prediction_interval=True, n_folds=3).toPandas()
+    from etna_spark.operators.outliers import _norm_ppf
+
+    for s in ("a", "b"):
+        r = hist.loc[hist["series"] == s]
+        sigma = float(np.std(r["prediction"] - r["value"]))
+        o = out.loc[out["series"] == s]
+        np.testing.assert_allclose(
+            o["value_0.975"] - o["value"], _norm_ppf(0.975) * sigma, rtol=1e-9
+        )
+
+
+def test_forecast_components_sum_to_forecast(spark, daily_df):
+    p = Pipeline(
+        model=SeasonalMovingAverageModel(window=2, seasonality=7),
+        horizon=7, step_seconds=86400,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    ).fit(daily_df)
+    out = p.forecast(return_components=True).toPandas()
+    comp_cols = ["value_component_lag_7", "value_component_lag_14"]
+    assert set(comp_cols) <= set(out.columns)
+    np.testing.assert_allclose(
+        out[comp_cols].sum(axis=1), out["value"], rtol=1e-9
+    )
+
+
+def test_interval_requires_history(spark):
+    # series 'b' has no actuals over the whole backtest span (last 21 days)
+    # → all residuals NULL → the per-segment validation must raise, like
+    # the reference's non_nan_counts < 2 check (base.py:458-474)
+    rows = [
+        ("a", START + dt.timedelta(days=i), float(i)) for i in range(40)
+    ] + [
+        ("b", START + dt.timedelta(days=i), float(i) if i < 19 else None)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    p = Pipeline(
+        model=naive_model(1), horizon=7, step_seconds=86400,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    ).fit(df)
+    with pytest.raises(ValueError, match="aren't enough target values"):
+        p.forecast(prediction_interval=True, n_folds=3)

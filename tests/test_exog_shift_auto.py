@@ -110,3 +110,20 @@ def test_check_regressors_rejects_late_start(spark, exog_df):
             df, ["exog_late"], target_col="target",
             series_cols=("series",), ts_col="ts",
         )
+
+
+def test_auto_shift_against_target_end(spark, exog_df):
+    # Reference _estimate_shift measures delta against the TARGET's last
+    # timestamp (hour 47 here — the hour-48 row has target NULL). exog_c's
+    # last known point is hour 48 → delta = -1 → with horizon=1 the shift
+    # is max(0, -1+1) = 0: the column already covers the horizon and is
+    # used as-is. exog_a ends with the target → delta 0 → shift 1.
+    t = ExogShiftAuto(
+        cols=["exog_a", "exog_c"], horizon=1, step_seconds=3600,
+        series_cols=("series",), ts_col="ts", target_col="target",
+    ).fit(exog_df)
+    assert t.shifts == {"exog_a": 1, "exog_c": 0}
+    out = t.transform(exog_df)
+    assert "exog_c" in out.columns and "exog_c_shift_0" not in out.columns
+    assert "exog_a_shift_1" in out.columns and "exog_a" not in out.columns
+    assert t.get_regressors_info() == ["exog_a_shift_1"]

@@ -119,3 +119,14 @@ def test_not_fitted_raises(spark, skewed_df):
     t = PowerTransform()
     with pytest.raises(ValueError, match="isn't fitted"):
         t.transform(skewed_df)
+
+
+def test_macro_boxcox_rejects_nonpositive(spark):
+    # macro mode must fail loudly like the per-segment path — under ANSI,
+    # log(x<=0) is NULL and would silently mis-fit lambda otherwise
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate([1.0, 2.0, 0.0, 3.0])],
+        "series string, idx int, value double",
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        PowerTransform(method="box-cox", mode="macro").fit(df)

@@ -170,3 +170,10 @@ def test_stl_robust_downweights_outliers():
     fit_err_n = np.abs(np.delete(s_n + t_n - y, 40)).max()
     assert fit_err_r < fit_err_n
     assert fit_err_r < 0.75
+
+
+def test_short_series_raises_clear_error():
+    # a series with fewer than 2 full periods used to die with an obscure
+    # numpy broadcast error inside the applyInPandas kernel
+    with pytest.raises(ValueError, match="too short for STL"):
+        stl_decompose(np.arange(10.0), period=24)
