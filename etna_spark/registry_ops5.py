@@ -161,3 +161,105 @@ def q_forecast_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v_component_lag_24", 6).alias("comp_lag_24"),
         F.round("v_component_lag_48", 6).alias("comp_lag_48"),
     )
+
+
+@register(
+    "hierarchy_reconcile_topdown",
+    """
+WITH cust_mo AS (
+  SELECT o_custkey, CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)
+           AS month_ts,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), nl AS (
+  SELECT c.c_nationkey AS nationkey, r.r_name AS region, month_ts,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM cust_mo
+  JOIN customer c ON c.c_custkey = o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2, 3
+), rl AS (
+  SELECT region, month_ts, CAST(sum(cents) AS BIGINT) AS rcents
+  FROM nl GROUP BY 1, 2
+), last6 AS (
+  SELECT DISTINCT month_ts FROM nl ORDER BY month_ts DESC LIMIT 6
+), cstat AS (
+  SELECT nationkey, region,
+         CAST(sum(cents) AS DOUBLE) / count(cents) AS mc
+  FROM nl WHERE month_ts IN (SELECT month_ts FROM last6)
+  GROUP BY 1, 2
+), pstat AS (
+  SELECT region, CAST(sum(rcents) AS DOUBLE) / count(rcents) AS mp
+  FROM rl WHERE month_ts IN (SELECT month_ts FROM last6)
+  GROUP BY 1
+), prop AS (
+  SELECT nationkey, p.region, mc / mp AS w
+  FROM cstat c JOIN pstat p ON c.region = p.region
+), fc AS (
+  SELECT region, month_ts, CAST(rcents AS DOUBLE) AS value
+  FROM rl WHERE month_ts = (SELECT max(month_ts) FROM rl)
+)
+SELECT p.nationkey, f.month_ts, round(f.value * p.w, 6) AS value
+FROM fc f JOIN prop p ON f.region = p.region
+""",
+)
+def q_reconcile_topdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopDownReconciliator PHA (reference reconciliation/top_down.py:
+    135-139): nation-level monthly order cents rolled up to region, last-6-
+    month historical-average proportions, the region-level 'forecast' (its
+    final-month actuals, a deterministic stand-in) distributed back down to
+    nations. PHA's single-division proportion keeps the float chain
+    order-independent (integer sums → one divide per stat); AHP's
+    mean-of-ratios is aggregation-order-sensitive and is pinned by
+    tests/test_reconciliation.py instead."""
+    from etna_spark.operators.reconciliation import TopDownReconciliator
+    from etna_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    cust_mo = (
+        orders.withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        )
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.date_trunc("month", "o_orderdate").cast("long").alias("month_ts"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    to_nation = customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    nl = (
+        cust_mo.join(F.broadcast(to_nation), on="custkey")
+        .groupBy("nationkey", "month_ts")
+        .agg(F.sum("cents").alias("value"))
+    )
+    to_region = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select(
+        F.col("n_nationkey").alias("nationkey"), F.col("r_name").alias("region")
+    )
+    rec = TopDownReconciliator(
+        mapping=to_region, child_col="nationkey", parent_col="region",
+        period=6, method="PHA", value_col="value", ts_col="month_ts",
+    ).fit(nl)
+    rl = (
+        nl.join(F.broadcast(to_region), on="nationkey")
+        .groupBy("region", "month_ts")
+        .agg(F.sum("value").alias("value"))
+    )
+    last = rl.agg(F.max("month_ts").alias("mx"))
+    fc = rl.join(F.broadcast(last), rl["month_ts"] == F.col("mx")).select(
+        "region", "month_ts", F.col("value").cast("double").alias("value")
+    )
+    out = rec.reconcile(fc)
+    return out.select(
+        "nationkey", "month_ts", F.round("value", 6).alias("value")
+    )

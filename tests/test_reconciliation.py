@@ -1,0 +1,129 @@
+"""Bottom-up / top-down reconciliation (reference reconciliation/
+bottom_up.py:5-60, top_down.py:25-139)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etna_spark.operators.reconciliation import (
+    BottomUpReconciliator,
+    TopDownReconciliator,
+)
+
+START = dt.datetime(2021, 1, 1)
+
+
+@pytest.fixture()
+def mapping(spark):
+    return spark.createDataFrame(
+        [("c1", "p1"), ("c2", "p1"), ("c3", "p2")],
+        "child string, parent string",
+    )
+
+
+@pytest.fixture()
+def child_df(spark):
+    # c1 : c2 keeps a 1 : 3 split inside p1; c3 alone makes up p2
+    rows = []
+    for i in range(10):
+        ts = START + dt.timedelta(days=i)
+        rows.append(("c1", ts, float(10 + i)))
+        rows.append(("c2", ts, float(3 * (10 + i))))
+        rows.append(("c3", ts, float(5 + 2 * i)))
+    return spark.createDataFrame(rows, "child string, ts timestamp, value double")
+
+
+def test_bottom_up_is_rollup(spark, mapping, child_df):
+    rec = BottomUpReconciliator(
+        mapping, "child", "parent", value_col="value", ts_col="ts"
+    ).fit(child_df)
+    out = rec.reconcile(child_df).toPandas()
+    got = {
+        (r.parent, r.ts): r.value for r in out.itertuples(index=False)
+    }
+    assert got[("p1", START)] == 10.0 + 30.0
+    assert got[("p2", START)] == 5.0
+    assert len(out) == 20  # 2 parents × 10 days
+
+
+@pytest.mark.parametrize("method", ["AHP", "PHA"])
+def test_topdown_constant_split_recovers_exact_shares(
+    spark, mapping, child_df, method
+):
+    rec = TopDownReconciliator(
+        mapping, "child", "parent", period=5, method=method,
+        value_col="value", ts_col="ts",
+    ).fit(child_df)
+    props = rec._proportions.toPandas().set_index("child")["_w"].to_dict()
+    np.testing.assert_allclose(props["c1"], 0.25, rtol=1e-12)
+    np.testing.assert_allclose(props["c2"], 0.75, rtol=1e-12)
+    np.testing.assert_allclose(props["c3"], 1.0, rtol=1e-12)
+    fc = spark.createDataFrame(
+        [("p1", START + dt.timedelta(days=10), 100.0),
+         ("p2", START + dt.timedelta(days=10), 40.0)],
+        "parent string, ts timestamp, value double",
+    )
+    out = rec.reconcile(fc).toPandas().set_index("child")["value"]
+    np.testing.assert_allclose(out["c1"], 25.0, rtol=1e-12)
+    np.testing.assert_allclose(out["c2"], 75.0, rtol=1e-12)
+    np.testing.assert_allclose(out["c3"], 40.0, rtol=1e-12)
+
+
+def test_topdown_ahp_matches_numpy_on_drifting_shares(spark, mapping):
+    # c1's share of p1 drifts: AHP averages the per-day ratios,
+    # PHA takes the ratio of the averages — they must differ here and each
+    # must match its numpy definition (reference top_down.py:129-139)
+    rows = []
+    c1 = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    c2 = np.array([9.0, 8.0, 7.0, 6.0, 5.0])
+    for i in range(5):
+        ts = START + dt.timedelta(days=i)
+        rows.append(("c1", ts, float(c1[i])))
+        rows.append(("c2", ts, float(c2[i])))
+        rows.append(("c3", ts, 1.0))
+    df = spark.createDataFrame(rows, "child string, ts timestamp, value double")
+    p = c1 + c2  # constant 10
+    ahp = TopDownReconciliator(
+        mapping, "child", "parent", period=5, method="AHP",
+        value_col="value", ts_col="ts",
+    ).fit(df)
+    pha = TopDownReconciliator(
+        mapping, "child", "parent", period=5, method="PHA",
+        value_col="value", ts_col="ts",
+    ).fit(df)
+    w_ahp = ahp._proportions.toPandas().set_index("child")["_w"].to_dict()
+    w_pha = pha._proportions.toPandas().set_index("child")["_w"].to_dict()
+    np.testing.assert_allclose(w_ahp["c1"], np.mean(c1 / p), rtol=1e-12)
+    np.testing.assert_allclose(w_pha["c1"], np.mean(c1) / np.mean(p), rtol=1e-12)
+
+
+def test_topdown_period_slices_last_timestamps(spark, mapping, child_df):
+    # period=1 → proportions from the final day only: c1 share = 19/76
+    rec = TopDownReconciliator(
+        mapping, "child", "parent", period=1, method="PHA",
+        value_col="value", ts_col="ts",
+    ).fit(child_df)
+    props = rec._proportions.toPandas().set_index("child")["_w"].to_dict()
+    np.testing.assert_allclose(props["c1"], 19.0 / 76.0, rtol=1e-12)
+
+
+def test_topdown_rejects_negative_and_bad_args(spark, mapping, child_df):
+    neg = child_df.withColumn(
+        "value", F.when(F.col("child") == "c1", -1.0).otherwise(F.col("value"))
+    )
+    rec = TopDownReconciliator(
+        mapping, "child", "parent", period=3, method="AHP",
+        value_col="value", ts_col="ts",
+    )
+    with pytest.raises(ValueError, match="negative"):
+        rec.fit(neg)
+    with pytest.raises(ValueError, match="Unable to recognize"):
+        TopDownReconciliator(mapping, "child", "parent", period=3, method="XX")
+    with pytest.raises(ValueError, match="must be positive"):
+        TopDownReconciliator(mapping, "child", "parent", period=0)
+    with pytest.raises(ValueError, match="not fitted"):
+        rec.reconcile(child_df)
