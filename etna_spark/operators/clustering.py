@@ -1,0 +1,262 @@
+"""Series clustering: pairwise distance matrix + hierarchical clustering.
+
+Reference parity:
+- EuclideanDistance (/root/reference/etna/clustering/distances/
+  euclidean_distance.py:13-50): ``trim_series=True`` compares the common-
+  timestamp overlap — in Spark that's a per-timestamp self-join + one
+  aggregation per pair, no arrays and no Python.
+- DTWDistance (/root/reference/etna/clustering/distances/dtw_distance.py:
+  35-100): the DP is per-pair — series are packed to arrays JVM-side
+  (collect_list + sort_array) and a pandas UDF runs an EXACT row-vectorized
+  DP: with t[j] = c[i,j] + min(m[i-1,j], m[i-1,j-1]) the serial
+  m[i,j] = min(t[j], m[i,j-1] + c[i,j]) unrolls to
+  S[j] + running-min(t - S) where S = cumsum(c[i]) — O(n) numpy per row
+  instead of the reference's numba inner loop.
+- DistanceMatrix + HierarchicalClustering (/root/reference/etna/clustering/
+  distances/distance_matrix.py:19-110, hierarchical/base.py:33-160):
+  sklearn's AgglomerativeClustering(metric='precomputed') becomes a
+  Lance-Williams agglomeration over the collected n×n matrix — the matrix
+  is #series², inherently driver-sized; only its CONSTRUCTION is
+  distributed. Ward requires feature-space input and is rejected for
+  precomputed matrices (sklearn does the same).
+
+Scale note: all-pairs distance is quadratic in #series by definition.
+For large fleets pre-bucket candidates (the dedup/ANN LSH machinery) and
+run the matrix per bucket; the operators here take whatever pair set the
+caller scopes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+LINKAGES = ("single", "complete", "average")
+
+
+def euclidean_distance_matrix(
+    df: DataFrame,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pairs (s1 < s2, dist) over common timestamps (trim_series=True
+    semantics). One shuffle on ts + one hash aggregation."""
+    a = df.select(
+        F.col(series_col).alias("s1"), F.col(ts_col).alias("_ts"),
+        F.col(value_col).alias("_v1"),
+    ).filter(F.col("_v1").isNotNull())
+    b = df.select(
+        F.col(series_col).alias("s2"), F.col(ts_col).alias("_ts"),
+        F.col(value_col).alias("_v2"),
+    ).filter(F.col("_v2").isNotNull())
+    pairs = a.join(b, on="_ts").filter(F.col("s1") < F.col("s2"))
+    d = F.col("_v1") - F.col("_v2")
+    return pairs.groupBy("s1", "s2").agg(
+        F.sqrt(F.sum(d * d)).alias("dist")
+    )
+
+
+def _pack(df: DataFrame, series_col: str, ts_col: str, value_col: str):
+    return df.groupBy(F.col(series_col).alias("s")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ts_col), F.col(value_col).alias("v")))
+        ).alias("_pts")
+    ).select("s", F.col("_pts.v").alias("vs"))
+
+
+def _dtw_kernel(x1: np.ndarray, x2: np.ndarray) -> float:
+    """Exact DTW with |.| point distance, row-vectorized DP."""
+    c0 = np.abs(x1[0] - x2)
+    m_prev = np.cumsum(c0)
+    for i in range(1, len(x1)):
+        c = np.abs(x1[i] - x2)
+        shifted = np.empty_like(m_prev)
+        shifted[0] = np.inf
+        shifted[1:] = m_prev[:-1]
+        t = c + np.minimum(m_prev, shifted)
+        s = np.cumsum(c)
+        m_prev = s + np.minimum.accumulate(t - s)
+    return float(m_prev[-1])
+
+
+def dtw_distance_matrix(
+    df: DataFrame,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pairs (s1 < s2, dist) under dynamic time warping. Arrays are packed
+    JVM-side; each pair's DP runs in an Arrow-batched pandas UDF."""
+
+    @pandas_udf("double")
+    def dtw(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        return pd.Series([
+            _dtw_kernel(
+                np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+            )
+            for a, b in zip(v1, v2)
+        ])
+
+    packed = _pack(df, series_col, ts_col, value_col)
+    left = packed.select(F.col("s").alias("s1"), F.col("vs").alias("_v1"))
+    right = packed.select(F.col("s").alias("s2"), F.col("vs").alias("_v2"))
+    pairs = left.join(right, F.col("s1") < F.col("s2"))
+    return pairs.select("s1", "s2", dtw("_v1", "_v2").alias("dist"))
+
+
+def dtw_distance_pairs_sym(
+    df: DataFrame,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """All pairs s1 <= s2 with the DTW kernel run in BOTH argument orders
+    (columns dist, dist_rev) — the self-verification surface: dist must be
+    0 on the diagonal and equal dist_rev off it."""
+
+    @pandas_udf("dist double, dist_rev double")
+    def both(v1: pd.Series, v2: pd.Series) -> pd.DataFrame:
+        rows = []
+        for a, b in zip(v1, v2):
+            a = np.asarray(a, dtype=np.float64)
+            b = np.asarray(b, dtype=np.float64)
+            rows.append((_dtw_kernel(a, b), _dtw_kernel(b, a)))
+        return pd.DataFrame(rows, columns=["dist", "dist_rev"])
+
+    packed = _pack(df, series_col, ts_col, value_col)
+    left = packed.select(F.col("s").alias("s1"), F.col("vs").alias("_v1"))
+    right = packed.select(F.col("s").alias("s2"), F.col("vs").alias("_v2"))
+    pairs = left.join(right, F.col("s1") <= F.col("s2"))
+    return pairs.select("s1", "s2", both("_v1", "_v2").alias("_d")).select(
+        "s1", "s2", "_d.dist", "_d.dist_rev"
+    )
+
+
+def agglomerate(
+    dist_pdf: pd.DataFrame, n_clusters: int, linkage: str = "average"
+) -> dict:
+    """Lance-Williams agglomerative clustering over a collected pair list
+    (columns s1, s2, dist). Returns {series: cluster_label} with labels
+    0..n_clusters-1 in first-seen order of the sorted series list."""
+    if linkage not in LINKAGES:
+        raise ValueError(
+            f"linkage must be one of {LINKAGES} for a precomputed distance "
+            f"matrix (ward needs feature-space input), got '{linkage}'"
+        )
+    names = sorted(set(dist_pdf["s1"]) | set(dist_pdf["s2"]))
+    idx = {s: i for i, s in enumerate(names)}
+    n = len(names)
+    if n_clusters < 1 or n_clusters > n:
+        raise ValueError(f"n_clusters must be in [1, {n}], got {n_clusters}")
+    d = np.zeros((n, n))
+    for s1, s2, v in dist_pdf[["s1", "s2", "dist"]].itertuples(index=False):
+        d[idx[s1], idx[s2]] = v
+        d[idx[s2], idx[s1]] = v
+    np.fill_diagonal(d, np.inf)
+    members = {i: [i] for i in range(n)}
+    sizes = {i: 1 for i in range(n)}
+    active = set(range(n))
+    while len(active) > n_clusters:
+        act = sorted(active)
+        sub = d[np.ix_(act, act)]
+        k = np.argmin(sub)
+        ai, aj = divmod(k, len(act))
+        i, j = act[ai], act[aj]
+        if i > j:
+            i, j = j, i
+        for k2 in active:
+            if k2 in (i, j):
+                continue
+            if linkage == "single":
+                nd = min(d[i, k2], d[j, k2])
+            elif linkage == "complete":
+                nd = max(d[i, k2], d[j, k2])
+            else:
+                nd = (
+                    sizes[i] * d[i, k2] + sizes[j] * d[j, k2]
+                ) / (sizes[i] + sizes[j])
+            d[i, k2] = d[k2, i] = nd
+        members[i].extend(members[j])
+        sizes[i] += sizes[j]
+        active.remove(j)
+    out = {}
+    for label, root in enumerate(sorted(active)):
+        for m in members[root]:
+            out[names[m]] = label
+    return out
+
+
+class HierarchicalClustering:
+    """Reference lifecycle (hierarchical/base.py:33-160):
+    build_distance_matrix → fit_predict(n_clusters, linkage) →
+    get_centroids. The matrix build is distributed; the agglomeration runs
+    on the driver over the collected pair list (#series² scalars)."""
+
+    def __init__(
+        self,
+        distance: str = "euclidean",
+        series_col: str = "series",
+        ts_col: str = "ts",
+        value_col: str = "value",
+    ):
+        if distance not in ("euclidean", "dtw"):
+            raise ValueError(f"unknown distance '{distance}'")
+        self.distance = distance
+        self.series_col = series_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self._df: DataFrame | None = None
+        self._dist: DataFrame | None = None
+        self.segment2cluster: dict | None = None
+
+    def build_distance_matrix(self, df: DataFrame) -> "HierarchicalClustering":
+        fn = (
+            euclidean_distance_matrix
+            if self.distance == "euclidean"
+            else dtw_distance_matrix
+        )
+        self._df = df
+        self._dist = fn(df, self.series_col, self.ts_col, self.value_col)
+        return self
+
+    def fit_predict(
+        self, n_clusters: int, linkage: str = "average"
+    ) -> DataFrame:
+        if self._dist is None:
+            raise ValueError(
+                "Distance matrix is not built! Call build_distance_matrix "
+                "before fit_predict."
+            )
+        labels = agglomerate(self._dist.toPandas(), n_clusters, linkage)
+        self.segment2cluster = labels
+        spark = self._df.sparkSession
+        return spark.createDataFrame(
+            sorted(labels.items()), f"{self.series_col} string, cluster int"
+        )
+
+    def get_centroids(self) -> DataFrame:
+        """Per-cluster per-timestamp mean — the euclidean average series
+        (reference euclidean_distance.py:48-60). DTW barycenter averaging is
+        not implemented; the euclidean centroid is returned for both
+        metrics, which matches the common use (cluster then eyeball)."""
+        if self.segment2cluster is None or self._df is None:
+            raise ValueError(
+                "HierarchicalClustering is not fitted! Fit the "
+                "HierarchicalClustering before calling get_centroids!"
+            )
+        spark = self._df.sparkSession
+        lab = spark.createDataFrame(
+            sorted(self.segment2cluster.items()),
+            f"{self.series_col} string, cluster int",
+        )
+        return (
+            self._df.join(F.broadcast(lab), on=self.series_col)
+            .groupBy("cluster", self.ts_col)
+            .agg(F.avg(self.value_col).alias(self.value_col))
+        )

@@ -263,3 +263,90 @@ def q_reconcile_topdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "nationkey", "month_ts", F.round("value", 6).alias("value")
     )
+
+
+@register(
+    "clustering_distance_euclidean",
+    """
+WITH series AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS s1, b.event_type AS s2,
+  round(sqrt(sum(
+    CAST(a.value_cents - b.value_cents AS DOUBLE)
+    * CAST(a.value_cents - b.value_cents AS DOUBLE)
+  )), 6) AS dist
+FROM series a
+JOIN series b ON a.bucket_ts = b.bucket_ts AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
+)
+def q_clustering_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean distance matrix, trim_series=True semantics (reference
+    clustering/distances/euclidean_distance.py:13-50 +
+    distance_matrix.py:19-110): common-timestamp self-join + one hash
+    aggregation per pair — integer-cent diffs keep the sum exact in double,
+    so sqrt/round bit-match across engines."""
+    from etna_spark.operators.clustering import euclidean_distance_matrix
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("v"),
+    )
+    out = euclidean_distance_matrix(
+        s, series_col="event_type", ts_col="bucket_ts", value_col="v"
+    )
+    return out.select("s1", "s2", F.round("dist", 6).alias("dist"))
+
+
+@register("clustering_dtw_events", None)
+def q_clustering_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance matrix (reference clustering/distances/dtw_distance.py:
+    35-100): the DP is not SQL-expressible → rows-only, SELF-VERIFYING:
+    sym_ok=1 iff dtw(a,b) == dtw(b,a) (the kernel is run in BOTH argument
+    orders) and the diagonal rows carry dtw(x,x) which must be 0."""
+    from etna_spark.operators.clustering import dtw_distance_pairs_sym
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("v"),
+    )
+    d = dtw_distance_pairs_sym(
+        s, series_col="event_type", ts_col="bucket_ts", value_col="v"
+    )
+    return d.select(
+        "s1", "s2",
+        F.round("dist", 6).alias("dist"),
+        F.when(
+            F.col("s1") == F.col("s2"), (F.col("dist") == 0.0).cast("int")
+        ).otherwise(
+            (F.abs(F.col("dist") - F.col("dist_rev")) < 1e-9).cast("int")
+        ).alias("sym_ok"),
+    )
+
+
+@register("clustering_assignments_1h", None)
+def q_clustering_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HierarchicalClustering end-to-end (reference hierarchical/base.py:
+    33-160): euclidean matrix → average-linkage agglomeration → labels +
+    per-cluster centroids count. Label order depends on merge tie-breaks →
+    rows-only; the grouping itself is pinned by tests/test_clustering.py."""
+    from etna_spark.operators.clustering import HierarchicalClustering
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("v"),
+    )
+    hc = HierarchicalClustering(
+        distance="euclidean", series_col="event_type",
+        ts_col="bucket_ts", value_col="v",
+    ).build_distance_matrix(s)
+    labels = hc.fit_predict(n_clusters=2, linkage="average")
+    cent_n = hc.get_centroids().groupBy("cluster").agg(
+        F.count("*").alias("centroid_points")
+    )
+    return labels.join(cent_n, on="cluster").select(
+        "event_type", "cluster", "centroid_points"
+    )
