@@ -58,6 +58,65 @@ class SeasonalMovingAverageModel:
         return out[n:]
 
 
+class DeadlineMovingAverageModel:
+    """forecast[t] = mean(y[t − 1·offset], ..., y[t − window·offset]) where
+    offset is an exact CALENDAR month or year step, not a fixed row count
+    (/root/reference/etna/models/deadline_ma.py:30-260; month-end dates
+    clamp the way pd.DateOffset does). Autoregressive over the horizon;
+    components are the seasonal-lag shares /window like the reference's
+    _make_prediction_components (deadline_ma.py:188-215)."""
+
+    def __init__(self, window: int = 3, seasonality: str = "month"):
+        if seasonality not in ("month", "year"):
+            raise NotImplementedError(
+                f"{seasonality} is not a valid SeasonalityMode. Only "
+                f"'month', 'year' seasonality allowed"
+            )
+        self.window = window
+        self.seasonality = seasonality
+
+    def validate_step(self, step_seconds: int) -> None:
+        """Reference deadline_ma.py fit: daily/hourly frequencies only."""
+        if step_seconds not in (3600, 86400):
+            raise ValueError(
+                "Freq is not supported! Use daily or hourly frequency!"
+            )
+
+    def kernel_ts(
+        self,
+        hist_ts: pd.DatetimeIndex,
+        y: np.ndarray,
+        fut_ts: pd.DatetimeIndex,
+        return_components: bool = False,
+    ):
+        off = (
+            pd.DateOffset(months=1)
+            if self.seasonality == "month"
+            else pd.DateOffset(years=1)
+        )
+        ser = pd.Series(y, index=hist_ts, dtype=np.float64)
+        horizon = len(fut_ts)
+        preds = np.empty(horizon)
+        comps = np.full((horizon, self.window), np.nan)
+        for i, t in enumerate(fut_ts):
+            vals = np.empty(self.window)
+            for w in range(1, self.window + 1):
+                prev = t - off * w
+                if prev not in ser.index:
+                    raise ValueError(
+                        "Given context isn't big enough, try to decrease "
+                        "context_size, prediction_size or increase length "
+                        "of given dataframe!"
+                    )
+                vals[w - 1] = ser.loc[prev]
+            preds[i] = np.mean(vals)
+            comps[i] = vals / self.window
+            ser.loc[t] = preds[i]  # autoregressive: later steps may reuse
+        if return_components:
+            return preds, comps
+        return preds
+
+
 def naive_model(lag: int = 1) -> SeasonalMovingAverageModel:
     return SeasonalMovingAverageModel(window=1, seasonality=lag)
 
@@ -87,6 +146,8 @@ class Pipeline:
         self._train: DataFrame | None = None
 
     def fit(self, df: DataFrame) -> "Pipeline":
+        if hasattr(self.model, "validate_step"):
+            self.model.validate_step(self.step_seconds)
         cur = df
         for t in self.transforms:
             t.fit(cur)
@@ -135,12 +196,16 @@ class Pipeline:
         )
         ctx = train.select(*self.series_cols, ts_col, in_col)
         full = ctx.unionByName(future)
-        lags = (
-            list(range(model.seasonality, model.context_size + 1,
-                       model.seasonality))
-            if return_components
-            else []
-        )
+        time_aware = hasattr(model, "kernel_ts")
+        if return_components:
+            lags = (
+                list(range(1, model.window + 1))
+                if time_aware
+                else list(range(model.seasonality, model.context_size + 1,
+                                model.seasonality))
+            )
+        else:
+            lags = []
         comp_cols = [f"{in_col}_component_lag_{lag}" for lag in lags]
         schema_ddl = ", ".join(
             [f"`{f.name}` {f.dataType.simpleString()}" for f in full.schema]
@@ -152,6 +217,19 @@ class Pipeline:
             pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
             y = pdf[in_col].to_numpy(np.float64, na_value=np.nan)
             hist = y[:-horizon]
+            if time_aware:
+                tsv = pd.DatetimeIndex(pdf[ts_col])
+                out = model.kernel_ts(
+                    tsv[:-horizon], hist, tsv[-horizon:],
+                    return_components=bool(lags),
+                )
+                preds, comps = out if lags else (out, None)
+                pdf.loc[pdf.index[-horizon:], in_col] = preds
+                if lags:
+                    for k, c in enumerate(comp_cols):
+                        pdf[c] = np.nan
+                        pdf.loc[pdf.index[-horizon:], c] = comps[:, k]
+                return pdf.iloc[-horizon:]
             preds = model.kernel(hist, horizon)
             pdf.loc[pdf.index[-horizon:], in_col] = preds
             if lags:

@@ -350,3 +350,88 @@ def q_clustering_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(cent_n, on="cluster").select(
         "event_type", "cluster", "centroid_points"
     )
+
+
+@register(
+    "forecast_deadline_ma_1d",
+    """
+WITH ord_day AS (
+  SELECT r.r_name AS region, date_trunc('day', o_orderdate) AS bucket_ts,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM orders
+  JOIN customer c ON c.c_custkey = o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM ord_day
+), spine AS (
+  SELECT rg.region, g.bucket_ts
+  FROM (SELECT DISTINCT region FROM ord_day) rg
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket_ts
+              FROM bounds) g
+), filled AS (
+  SELECT region, bucket_ts,
+         last_value(value_cents IGNORE NULLS) OVER (
+           PARTITION BY region ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM spine LEFT JOIN ord_day USING (region, bucket_ts)
+), d AS (
+  SELECT region, bucket_ts, v FROM filled WHERE v IS NOT NULL
+), fut AS (
+  SELECT rg.region, j
+  FROM (SELECT DISTINCT region FROM d) rg
+  CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS j)
+)
+SELECT f.region,
+  CAST(epoch(b.mx + INTERVAL 1 DAY * f.j) AS BIGINT) AS bucket_ts,
+  round((CAST(p1.v AS DOUBLE) + CAST(p2.v AS DOUBLE)) / 2.0, 6) AS pred
+FROM fut f CROSS JOIN bounds b
+LEFT JOIN d p1 ON p1.region = f.region
+  AND p1.bucket_ts = (b.mx + INTERVAL 1 DAY * f.j) - INTERVAL 1 MONTH
+LEFT JOIN d p2 ON p2.region = f.region
+  AND p2.bucket_ts = (b.mx + INTERVAL 1 DAY * f.j) - INTERVAL 2 MONTH
+""",
+)
+def q_forecast_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeadlineMovingAverageModel(window=2, month) over region-level daily
+    order cents (reference models/deadline_ma.py:30-260; the events tables
+    span only 30 days, so the multi-year TPC-H order history carries the
+    calendar offsets): each prediction averages the values at the exact
+    calendar dates one and two months back — pandas DateOffset and DuckDB
+    INTERVAL MONTH clamp month-ends identically, and with offsets >= 1
+    month > horizon the autoregressive path never fires, so the SQL twin is
+    a pure calendar-lag join."""
+    from etna_spark.plans.pipeline import DeadlineMovingAverageModel, Pipeline
+    from etna_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    to_region = customer.join(
+        nation, customer["c_nationkey"] == nation["n_nationkey"]
+    ).join(region, nation["n_regionkey"] == region["r_regionkey"]).select(
+        F.col("c_custkey").alias("custkey"), F.col("r_name").alias("region")
+    )
+    s = (
+        orders.withColumn(
+            "vc", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        )
+        .join(F.broadcast(to_region), orders["o_custkey"] == F.col("custkey"))
+        .groupBy("region", F.date_trunc("day", "o_orderdate").alias("bucket_ts"))
+        .agg(F.sum("vc").cast("double").alias("v"))
+    )
+    dense = ffill(
+        regularize(s, "1d", series_cols=("region",), ts_col="bucket_ts"),
+        ["v"], series_cols=("region",), ts_col="bucket_ts",
+    ).filter(F.col("v").isNotNull())
+    p = Pipeline(
+        model=DeadlineMovingAverageModel(window=2, seasonality="month"),
+        horizon=5, step_seconds=86400,
+        in_col="v", series_cols=("region",), ts_col="bucket_ts",
+    ).fit(dense)
+    return p.forecast().select(
+        "region", epoch(), F.round("v", 6).alias("pred")
+    )

@@ -188,3 +188,66 @@ def test_interval_requires_history(spark):
     ).fit(df)
     with pytest.raises(ValueError, match="aren't enough target values"):
         p.forecast(prediction_interval=True, n_folds=3)
+
+
+def test_deadline_ma_calendar_offsets(spark):
+    from etna_spark.plans.pipeline import DeadlineMovingAverageModel
+
+    # daily series over 2021-01-01..2021-05-30; value = running day index
+    rows = [
+        ("a", START + dt.timedelta(days=i), float(i)) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    p = Pipeline(
+        model=DeadlineMovingAverageModel(window=1, seasonality="month"),
+        horizon=3, step_seconds=86400,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    ).fit(df)
+    out = p.forecast().toPandas().set_index("ts")["value"]
+    # 2021-05-31 − 1 month = 2021-04-30 (day 119): the month-end CLAMP
+    assert out[dt.datetime(2021, 5, 31)] == 119.0
+    # 2021-06-01 − 1 month = 2021-05-01 (day 120)
+    assert out[dt.datetime(2021, 6, 1)] == 120.0
+    assert out[dt.datetime(2021, 6, 2)] == 121.0
+
+
+def test_deadline_ma_components_and_window(spark):
+    from etna_spark.plans.pipeline import DeadlineMovingAverageModel
+
+    rows = [
+        ("a", START + dt.timedelta(days=i), float(i * i % 97)) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    p = Pipeline(
+        model=DeadlineMovingAverageModel(window=2, seasonality="month"),
+        horizon=4, step_seconds=86400,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    ).fit(df)
+    out = p.forecast(return_components=True).toPandas()
+    comp_cols = ["value_component_lag_1", "value_component_lag_2"]
+    assert set(comp_cols) <= set(out.columns)
+    np.testing.assert_allclose(
+        out[comp_cols].sum(axis=1), out["value"], rtol=1e-12
+    )
+
+
+def test_deadline_ma_validations(spark):
+    from etna_spark.plans.pipeline import DeadlineMovingAverageModel
+
+    with pytest.raises(NotImplementedError, match="not a valid"):
+        DeadlineMovingAverageModel(seasonality="week")
+    rows = [("a", START + dt.timedelta(days=i), float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    with pytest.raises(ValueError, match="not supported"):
+        Pipeline(
+            model=DeadlineMovingAverageModel(window=1), horizon=2,
+            step_seconds=60, in_col="value", series_cols=("series",),
+            ts_col="ts",
+        ).fit(df)
+    p = Pipeline(
+        model=DeadlineMovingAverageModel(window=3, seasonality="year"),
+        horizon=2, step_seconds=86400,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    ).fit(df)
+    with pytest.raises(Exception, match="context isn't big enough"):
+        p.forecast().collect()
