@@ -1,0 +1,178 @@
+"""Forecast ensembles: voting and direct.
+
+Reference parity:
+- VotingEnsemble (/root/reference/etna/ensembles/voting_ensemble.py:22-238):
+  weighted mean of the base pipelines' forecasts; weights are uniform, an
+  explicit list (normalized), or 'auto' — tree importances of each base
+  forecast as a predictor of the actuals over the backtest span
+  (_process_weights, voting_ensemble.py:128-157). The reference's
+  RandomForestRegressor becomes the engine's own numpy Extra-Trees
+  importance (operators/feature_selection.py — sklearn is unavailable).
+- DirectEnsemble (/root/reference/etna/ensembles/direct_ensemble.py:20-150):
+  base pipelines with pairwise-different horizons; forecast step s comes
+  from the pipeline with the SMALLEST horizon covering s (_merge,
+  direct_ensemble.py:127-140).
+
+Spark shape: each base forecast is a tiny (#series × horizon) frame; the
+vote is one multi-way equi-join + a weighted-sum projection, the direct
+merge is a union + min_by per timestamp. Fitting the base pipelines is the
+expensive part and each fit is an independent lineage the cluster runs
+concurrently — the reference's joblib fan-out is ordinary scheduling here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _validate_common(pipelines) -> None:
+    if len(pipelines) < 2:
+        raise ValueError("At least two pipelines are expected.")
+    base = pipelines[0]
+    for p in pipelines[1:]:
+        if (
+            p.series_cols != base.series_cols
+            or p.ts_col != base.ts_col
+            or p.in_col != base.in_col
+            or p.step_seconds != base.step_seconds
+        ):
+            raise ValueError(
+                "All the pipelines should share series/ts/target columns "
+                "and frequency."
+            )
+
+
+class VotingEnsemble:
+    def __init__(
+        self,
+        pipelines: Sequence,
+        weights: Sequence[float] | str | None = None,
+        n_folds: int = 3,
+        max_rows: int = 100_000,
+        seed: int = 0,
+    ):
+        _validate_common(pipelines)
+        if len({p.horizon for p in pipelines}) != 1:
+            raise ValueError("All the pipelines should have the same horizon.")
+        if weights is None or weights == "auto":
+            pass
+        elif isinstance(weights, (list, tuple)):
+            if len(weights) != len(pipelines):
+                raise ValueError(
+                    "Weights size should be equal to pipelines number."
+                )
+        else:
+            raise ValueError("Invalid format of weights is passed!")
+        self.pipelines = list(pipelines)
+        self.weights = weights
+        self.n_folds = n_folds
+        self.max_rows = max_rows
+        self.seed = seed
+        self.horizon = pipelines[0].horizon
+        self.processed_weights: list[float] | None = None
+        self._train: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> "VotingEnsemble":
+        for p in self.pipelines:
+            p.fit(df)
+        self._train = df
+        self.processed_weights = self._process_weights(df)
+        return self
+
+    def _process_weights(self, df: DataFrame) -> list[float]:
+        if self.weights is None:
+            w = [1.0] * len(self.pipelines)
+        elif self.weights == "auto":
+            from etna_spark.operators.feature_selection import (
+                _extra_trees_importance,
+            )
+
+            base = self.pipelines[0]
+            keys = [*base.series_cols, base.ts_col]
+            joined = None
+            for i, p in enumerate(self.pipelines):
+                h = p.get_historical_forecasts(df, n_folds=self.n_folds)
+                sel = h.select(
+                    *keys,
+                    *([base.in_col] if i == 0 else []),
+                    F.col("prediction").alias(f"_p{i}"),
+                )
+                joined = sel if joined is None else joined.join(sel, on=keys)
+            joined = joined.dropna()
+            n = joined.count()
+            if n > self.max_rows:
+                joined = joined.sample(
+                    fraction=self.max_rows / n, seed=self.seed
+                )
+            pdf = joined.toPandas()
+            cols = [f"_p{i}" for i in range(len(self.pipelines))]
+            imp = _extra_trees_importance(
+                pdf[cols].to_numpy(np.float64),
+                pdf[base.in_col].to_numpy(np.float64),
+                seed=self.seed,
+            )
+            w = list(imp)
+        else:
+            w = list(self.weights)
+        total = sum(w)
+        return [x / total for x in w]
+
+    def forecast(self) -> DataFrame:
+        if self.processed_weights is None:
+            raise ValueError("VotingEnsemble is not fitted!")
+        base = self.pipelines[0]
+        keys = [*base.series_cols, base.ts_col]
+        joined = None
+        for i, p in enumerate(self.pipelines):
+            fc = p.forecast().select(
+                *keys, F.col(base.in_col).alias(f"_p{i}")
+            )
+            joined = fc if joined is None else joined.join(fc, on=keys)
+        vote = sum(
+            (F.lit(w) * F.col(f"_p{i}")
+             for i, w in enumerate(self.processed_weights[1:], start=1)),
+            F.lit(self.processed_weights[0]) * F.col("_p0"),
+        )
+        return joined.select(*keys, vote.alias(base.in_col))
+
+
+class DirectEnsemble:
+    def __init__(self, pipelines: Sequence):
+        _validate_common(pipelines)
+        horizons = [p.horizon for p in pipelines]
+        if len(set(horizons)) != len(horizons):
+            raise ValueError(
+                "All the pipelines should have pairwise different horizons."
+            )
+        self.pipelines = list(pipelines)
+        self.horizon = max(horizons)
+
+    def fit(self, df: DataFrame) -> "DirectEnsemble":
+        for p in self.pipelines:
+            p.fit(df)
+        self._fitted = True
+        return self
+
+    def forecast(self) -> DataFrame:
+        if not getattr(self, "_fitted", False):
+            raise ValueError("DirectEnsemble is not fitted!")
+        base = self.pipelines[0]
+        keys = [*base.series_cols, base.ts_col]
+        union = None
+        for p in self.pipelines:
+            fc = p.forecast().select(
+                *keys,
+                F.col(base.in_col).alias("_v"),
+                F.lit(p.horizon).alias("_h"),
+            )
+            union = fc if union is None else union.unionByName(fc)
+        # step s gets the pipeline with the smallest horizon covering it —
+        # each pipeline emits only its own horizon's steps, so per (series,
+        # ts) the covering pipeline with the minimum horizon wins
+        return union.groupBy(*keys).agg(
+            F.min_by("_v", "_h").alias(base.in_col)
+        )

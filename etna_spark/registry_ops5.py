@@ -435,3 +435,91 @@ def q_forecast_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.forecast().select(
         "region", epoch(), F.round("v", 6).alias("pred")
     )
+
+
+@register(
+    "ensemble_voting_1h",
+    _DENSE_1H
+    + """
+SELECT f.event_type,
+  CAST(epoch(b.mx + INTERVAL 1 HOUR * f.j) AS BIGINT) AS bucket_ts,
+  round(
+    0.25 * CAST(p24.v AS DOUBLE)
+    + 0.75 * ((CAST(q24.v AS DOUBLE) + CAST(q48.v AS DOUBLE)) / 2.0),
+  6) AS pred
+FROM fut f CROSS JOIN bounds b
+LEFT JOIN d p24 ON p24.event_type = f.event_type
+  AND p24.bucket_ts = b.mx - INTERVAL 1 HOUR * (24 - f.j)
+LEFT JOIN d q24 ON q24.event_type = f.event_type
+  AND q24.bucket_ts = b.mx - INTERVAL 1 HOUR * (24 - f.j)
+LEFT JOIN d q48 ON q48.event_type = f.event_type
+  AND q48.bucket_ts = b.mx - INTERVAL 1 HOUR * (48 - f.j)
+""",
+)
+def q_ensemble_voting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VotingEnsemble (reference ensembles/voting_ensemble.py:22-238) of
+    seasonal-naive(24) and SMA(2,24), explicit weights [1,3] — normalized to
+    the exact binary fractions 0.25/0.75 so the weighted sum bit-matches the
+    SQL twin. The 'auto' tree-importance mode is pinned by
+    tests/test_ensembles.py (its bootstrap sampling is not SQL)."""
+    from etna_spark.plans.ensembles import VotingEnsemble
+    from etna_spark.plans.pipeline import Pipeline, SeasonalMovingAverageModel, naive_model
+
+    dense = _dense_1h(spark, sf_dir)
+
+    def pipe(model):
+        return Pipeline(
+            model=model, horizon=6, step_seconds=3600,
+            in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+        )
+
+    ens = VotingEnsemble(
+        [pipe(naive_model(24)),
+         pipe(SeasonalMovingAverageModel(window=2, seasonality=24))],
+        weights=[1.0, 3.0],
+    ).fit(dense)
+    return ens.forecast().select(
+        "event_type", epoch(), F.round("v", 6).alias("pred")
+    )
+
+
+@register(
+    "ensemble_direct_1h",
+    _DENSE_1H
+    + """
+SELECT f.event_type,
+  CAST(epoch(b.mx + INTERVAL 1 HOUR * f.j) AS BIGINT) AS bucket_ts,
+  round(CASE WHEN f.j <= 3 THEN CAST(p24.v AS DOUBLE)
+        ELSE (CAST(q24.v AS DOUBLE) + CAST(q48.v AS DOUBLE)) / 2.0
+  END, 6) AS pred
+FROM fut f CROSS JOIN bounds b
+LEFT JOIN d p24 ON p24.event_type = f.event_type
+  AND p24.bucket_ts = b.mx - INTERVAL 1 HOUR * (24 - f.j)
+LEFT JOIN d q24 ON q24.event_type = f.event_type
+  AND q24.bucket_ts = b.mx - INTERVAL 1 HOUR * (24 - f.j)
+LEFT JOIN d q48 ON q48.event_type = f.event_type
+  AND q48.bucket_ts = b.mx - INTERVAL 1 HOUR * (48 - f.j)
+""",
+)
+def q_ensemble_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectEnsemble (reference ensembles/direct_ensemble.py:20-150):
+    horizon-3 seasonal-naive covers steps 1-3, horizon-6 SMA(2,24) covers
+    4-6 — each step comes from the smallest covering horizon (_merge)."""
+    from etna_spark.plans.ensembles import DirectEnsemble
+    from etna_spark.plans.pipeline import Pipeline, SeasonalMovingAverageModel, naive_model
+
+    dense = _dense_1h(spark, sf_dir)
+
+    def pipe(model, horizon):
+        return Pipeline(
+            model=model, horizon=horizon, step_seconds=3600,
+            in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+        )
+
+    ens = DirectEnsemble(
+        [pipe(naive_model(24), 3),
+         pipe(SeasonalMovingAverageModel(window=2, seasonality=24), 6)],
+    ).fit(dense)
+    return ens.forecast().select(
+        "event_type", epoch(), F.round("v", 6).alias("pred")
+    )

@@ -1,0 +1,130 @@
+"""Voting + direct ensembles (reference ensembles/voting_ensemble.py:22-238,
+direct_ensemble.py:20-150)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from etna_spark.plans.ensembles import DirectEnsemble, VotingEnsemble
+from etna_spark.plans.pipeline import (
+    Pipeline,
+    SeasonalMovingAverageModel,
+    naive_model,
+)
+
+START = dt.datetime(2021, 1, 1)
+
+
+def _pipe(model, horizon=7):
+    return Pipeline(
+        model=model, horizon=horizon, step_seconds=86400,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    )
+
+
+@pytest.fixture()
+def weekly_df(spark):
+    # exact period-7 pattern: naive(7) forecasts it perfectly, naive(1)
+    # badly
+    rows = []
+    for s, base in (("a", 10.0), ("b", 100.0)):
+        for i in range(70):
+            rows.append(
+                (s, START + dt.timedelta(days=i), float(base + (i % 7)))
+            )
+    return spark.createDataFrame(rows, "series string, ts timestamp, value double")
+
+
+def test_voting_uniform_is_mean(spark, weekly_df):
+    ens = VotingEnsemble([_pipe(naive_model(7)), _pipe(naive_model(1))]).fit(
+        weekly_df
+    )
+    out = ens.forecast().toPandas().set_index(["series", "ts"])["value"]
+    f1 = _pipe(naive_model(7)).fit(weekly_df).forecast().toPandas().set_index(
+        ["series", "ts"]
+    )["value"]
+    f2 = _pipe(naive_model(1)).fit(weekly_df).forecast().toPandas().set_index(
+        ["series", "ts"]
+    )["value"]
+    np.testing.assert_allclose(
+        out.sort_index(), (0.5 * f1 + 0.5 * f2).sort_index(), rtol=1e-12
+    )
+
+
+def test_voting_explicit_weights_normalized(spark, weekly_df):
+    ens = VotingEnsemble(
+        [_pipe(naive_model(7)), _pipe(naive_model(1))], weights=[3.0, 1.0]
+    ).fit(weekly_df)
+    assert ens.processed_weights == [0.75, 0.25]
+    out = ens.forecast().toPandas().set_index(["series", "ts"])["value"]
+    f1 = _pipe(naive_model(7)).fit(weekly_df).forecast().toPandas().set_index(
+        ["series", "ts"]
+    )["value"]
+    f2 = _pipe(naive_model(1)).fit(weekly_df).forecast().toPandas().set_index(
+        ["series", "ts"]
+    )["value"]
+    np.testing.assert_allclose(
+        out.sort_index(), (0.75 * f1 + 0.25 * f2).sort_index(), rtol=1e-12
+    )
+
+
+def test_voting_auto_weights_favor_better_pipeline(spark, weekly_df):
+    ens = VotingEnsemble(
+        [_pipe(naive_model(7)), _pipe(naive_model(1))], weights="auto",
+        n_folds=3,
+    ).fit(weekly_df)
+    w = ens.processed_weights
+    assert abs(sum(w) - 1.0) < 1e-12
+    # the perfect seasonal-naive predictor must dominate
+    assert w[0] > w[1]
+
+
+def test_voting_validations(spark, weekly_df):
+    with pytest.raises(ValueError, match="At least two"):
+        VotingEnsemble([_pipe(naive_model(1))])
+    with pytest.raises(ValueError, match="same horizon"):
+        VotingEnsemble([_pipe(naive_model(1), 3), _pipe(naive_model(1), 5)])
+    with pytest.raises(ValueError, match="Weights size"):
+        VotingEnsemble(
+            [_pipe(naive_model(1)), _pipe(naive_model(7))], weights=[1.0]
+        )
+    with pytest.raises(ValueError, match="Invalid format"):
+        VotingEnsemble(
+            [_pipe(naive_model(1)), _pipe(naive_model(7))], weights="magic"
+        )
+    with pytest.raises(ValueError, match="not fitted"):
+        VotingEnsemble(
+            [_pipe(naive_model(1)), _pipe(naive_model(7))]
+        ).forecast()
+
+
+def test_direct_merges_by_smallest_covering_horizon(spark, weekly_df):
+    p3 = _pipe(naive_model(7), horizon=3)
+    p6 = _pipe(SeasonalMovingAverageModel(window=2, seasonality=7), horizon=6)
+    ens = DirectEnsemble([p3, p6]).fit(weekly_df)
+    assert ens.horizon == 6
+    out = ens.forecast().toPandas().set_index(["series", "ts"])["value"]
+    f3 = _pipe(naive_model(7), 3).fit(weekly_df).forecast().toPandas()
+    f6 = (
+        _pipe(SeasonalMovingAverageModel(window=2, seasonality=7), 6)
+        .fit(weekly_df).forecast().toPandas()
+    )
+    assert len(out) == 12  # 2 series × 6 steps
+    for r in f3.itertuples(index=False):
+        np.testing.assert_allclose(out[(r.series, r.ts)], r.value, rtol=1e-12)
+    tail = f6[f6["ts"] > f3["ts"].max()]
+    assert len(tail) == 6
+    for r in tail.itertuples(index=False):
+        np.testing.assert_allclose(out[(r.series, r.ts)], r.value, rtol=1e-12)
+
+
+def test_direct_validations(spark, weekly_df):
+    with pytest.raises(ValueError, match="pairwise different"):
+        DirectEnsemble([_pipe(naive_model(1), 3), _pipe(naive_model(7), 3)])
+    with pytest.raises(ValueError, match="not fitted"):
+        DirectEnsemble(
+            [_pipe(naive_model(1), 3), _pipe(naive_model(7), 6)]
+        ).forecast()
