@@ -121,6 +121,105 @@ def naive_model(lag: int = 1) -> SeasonalMovingAverageModel:
     return SeasonalMovingAverageModel(window=1, seasonality=lag)
 
 
+class AutoRegressivePipeline:
+    """Forecast in ceil(horizon/step) iterations, each extending the grid by
+    ``step`` points and re-running the model over history + everything
+    predicted so far (/root/reference/etna/pipeline/
+    autoregressive_pipeline.py:21-210). With the engine's context-window
+    models this matches Pipeline's in-kernel recursion (pinned by tests);
+    the iteration structure is what lets feature-building transforms see
+    intermediate predictions. Each iteration's result is materialized so
+    the plan stays flat instead of nesting ``n_iter`` pandas stages."""
+
+    def __init__(
+        self,
+        model,
+        horizon: int,
+        transforms: Sequence | None = None,
+        step: int = 1,
+        step_seconds: int = 86400,
+        in_col: str = "value",
+        series_cols: Sequence[str] = ("series",),
+        ts_col: str = "ts",
+    ):
+        if step < 1:
+            raise ValueError("Step should be a positive number!")
+        self.model = model
+        self.transforms = list(transforms or [])
+        self.horizon = horizon
+        self.step = step
+        self.step_seconds = step_seconds
+        self.in_col = in_col
+        self.series_cols = list(series_cols)
+        self.ts_col = ts_col
+        self._train: DataFrame | None = None
+
+    def fit(self, df: DataFrame) -> "AutoRegressivePipeline":
+        if hasattr(self.model, "validate_step"):
+            self.model.validate_step(self.step_seconds)
+        cur = df
+        for t in self.transforms:
+            t.fit(cur)
+            cur = t.transform(cur)
+        self._train = cur
+        return self
+
+    def forecast(self) -> DataFrame:
+        from etna_spark.plans.state import materialize
+
+        if self._train is None:
+            raise ValueError("AutoRegressivePipeline is not fitted!")
+        in_col, ts_col = self.in_col, self.ts_col
+        model = self.model
+        time_aware = hasattr(model, "kernel_ts")
+        cur = self._train.select(*self.series_cols, ts_col, in_col)
+        train_max = cur.agg(F.max(ts_col)).collect()[0][0]
+        schema_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in cur.schema
+        )
+        # closure factory, NOT a k=k default arg — a 2-positional-arg
+        # function makes applyInPandas switch to its (key, pdf) calling
+        # convention
+        def make_fc(k: int):
+            def fc(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(
+                    ts_col, kind="mergesort"
+                ).reset_index(drop=True)
+                y = pdf[in_col].to_numpy(np.float64, na_value=np.nan)
+                if time_aware:
+                    tsv = pd.DatetimeIndex(pdf[ts_col])
+                    preds = model.kernel_ts(tsv[:-k], y[:-k], tsv[-k:])
+                else:
+                    preds = model.kernel(y[:-k], k)
+                pdf.loc[pdf.index[-k:], in_col] = preds
+                return pdf.iloc[-k:]
+
+            return fc
+
+        remaining = self.horizon
+        while remaining > 0:
+            k = min(self.step, remaining)
+            fc = make_fc(k)
+
+            future = make_future(
+                cur, future_steps=k, step_seconds=self.step_seconds,
+                series_cols=self.series_cols, ts_col=ts_col,
+                target_cols=(in_col,),
+            )
+            chunk = (
+                cur.unionByName(future)
+                .groupBy(*self.series_cols)
+                .applyInPandas(fc, schema_ddl)
+            )
+            cur = materialize(cur.unionByName(chunk))
+            remaining -= k
+        result = cur.filter(F.col(ts_col) > F.lit(train_max))
+        for t in reversed(self.transforms):
+            if hasattr(t, "inverse_transform"):
+                result = t.inverse_transform(result)
+        return result
+
+
 def moving_average_model(window: int = 5) -> SeasonalMovingAverageModel:
     return SeasonalMovingAverageModel(window=window, seasonality=1)
 

@@ -523,3 +523,34 @@ def q_ensemble_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ens.forecast().select(
         "event_type", epoch(), F.round("v", 6).alias("pred")
     )
+
+
+@register(
+    "pipeline_autoregressive_1h",
+    _DENSE_1H
+    + """
+SELECT f.event_type,
+  CAST(epoch(b.mx + INTERVAL 1 HOUR * f.j) AS BIGINT) AS bucket_ts,
+  round(CAST(p.v AS DOUBLE), 6) AS pred
+FROM fut f CROSS JOIN bounds b
+LEFT JOIN d p ON p.event_type = f.event_type
+             AND p.bucket_ts = b.mx - INTERVAL 1 HOUR * (24 - f.j)
+""",
+)
+def q_pipeline_autoregressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutoRegressivePipeline (reference pipeline/autoregressive_pipeline.py:
+    21-210), seasonal-naive(24), horizon 6 in step=2 iterations: with
+    seasonality >= horizon every iteration's prediction is the pure lag-24
+    value, so the step-wise loop must reproduce the one-shot SQL lag — the
+    iteration plumbing (grid extension, chunk union, re-entry of predictions
+    into later steps' context) is exactly what this pins."""
+    from etna_spark.plans.pipeline import AutoRegressivePipeline, naive_model
+
+    dense = _dense_1h(spark, sf_dir)
+    ar = AutoRegressivePipeline(
+        model=naive_model(24), horizon=6, step=2, step_seconds=3600,
+        in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit(dense)
+    return ar.forecast().select(
+        "event_type", epoch(), F.round("v", 6).alias("pred")
+    )

@@ -128,3 +128,58 @@ def test_direct_validations(spark, weekly_df):
         DirectEnsemble(
             [_pipe(naive_model(1), 3), _pipe(naive_model(7), 6)]
         ).forecast()
+
+
+def test_autoregressive_matches_pipeline_recursion(spark, weekly_df):
+    from etna_spark.plans.pipeline import AutoRegressivePipeline
+
+    model = SeasonalMovingAverageModel(window=2, seasonality=3)
+    direct = _pipe(model, horizon=6).fit(weekly_df).forecast().toPandas()
+    for step in (1, 2, 4):
+        ar = AutoRegressivePipeline(
+            model=SeasonalMovingAverageModel(window=2, seasonality=3),
+            horizon=6, step=step, step_seconds=86400,
+            in_col="value", series_cols=("series",), ts_col="ts",
+        ).fit(weekly_df)
+        got = ar.forecast().toPandas()
+        d = direct.set_index(["series", "ts"])["value"].sort_index()
+        g = got.set_index(["series", "ts"])["value"].sort_index()
+        np.testing.assert_allclose(g.to_numpy(), d.to_numpy(), rtol=1e-12)
+
+
+def test_autoregressive_with_reversible_transform(spark, weekly_df):
+    from etna_spark.functions.math_ops import add_const, add_const_inverse
+    from etna_spark.plans.pipeline import AutoRegressivePipeline
+
+    class AddConst:
+        def fit(self, d):
+            return self
+
+        def transform(self, d):
+            return add_const(d, "value", 100.0)
+
+        def inverse_transform(self, d):
+            return add_const_inverse(d, "value", 100.0)
+
+    ar = AutoRegressivePipeline(
+        model=naive_model(7), horizon=7, step=3, step_seconds=86400,
+        transforms=[AddConst()],
+        in_col="value", series_cols=("series",), ts_col="ts",
+    ).fit(weekly_df)
+    out = ar.forecast().toPandas().set_index(["series", "ts"])["value"]
+    plain = (
+        _pipe(naive_model(7), 7).fit(weekly_df).forecast()
+        .toPandas().set_index(["series", "ts"])["value"]
+    )
+    np.testing.assert_allclose(
+        out.sort_index().to_numpy(), plain.sort_index().to_numpy(), rtol=1e-12
+    )
+
+
+def test_autoregressive_validations(spark, weekly_df):
+    from etna_spark.plans.pipeline import AutoRegressivePipeline
+
+    with pytest.raises(ValueError, match="positive"):
+        AutoRegressivePipeline(model=naive_model(1), horizon=3, step=0)
+    with pytest.raises(ValueError, match="not fitted"):
+        AutoRegressivePipeline(model=naive_model(1), horizon=3).forecast()
