@@ -554,3 +554,87 @@ def q_pipeline_autoregressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ar.forecast().select(
         "event_type", epoch(), F.round("v", 6).alias("pred")
     )
+
+
+_EMB_SQL = """
+, lagd AS (
+  SELECT event_type, bucket_ts,
+    CAST(v AS DOUBLE) AS v0,
+    CAST(lag(v, 1) OVER w AS DOUBLE) AS v1,
+    CAST(lag(v, 2) OVER w AS DOUBLE) AS v2,
+    CAST(lag(v, 3) OVER w AS DOUBLE) AS v3
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), emb AS (
+  SELECT event_type, bucket_ts,
+    0.25 * v0 + 0.4375 * v1 + (-0.5) * v2 + (-0.3125) * v3 AS e0,
+    (-0.3125) * v0 + (-0.0625) * v1 + 0.0625 * v2 + (-0.25) * v3 AS e1
+  FROM lagd WHERE v3 IS NOT NULL
+)
+"""
+
+
+@register(
+    "embedding_window_1h",
+    _DENSE_1H + _EMB_SQL + """
+SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts,
+  round(e0, 6) AS emb_0, round(e1, 6) AS emb_1
+FROM emb
+""",
+)
+def q_embedding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmbeddingWindowTransform (reference embeddings/embedding_window.py:
+    17-110) with the ROCKET-style random-conv encoder, K=2 dims, window=4,
+    seed 0: dyadic (k/16) kernel weights on integer-cent inputs keep the
+    explicitly left-to-right conv chain exact, so the per-timestamp
+    embeddings bit-match the SQL lag chain."""
+    from etna_spark.operators.embeddings import (
+        EmbeddingWindowTransform, RandomConvEmbeddingModel,
+    )
+
+    dense = _dense_1h(spark, sf_dir)
+    out = EmbeddingWindowTransform(
+        in_col="v",
+        embedding_model=RandomConvEmbeddingModel(output_dims=2, window=4, seed=0),
+        out_column="emb", series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit_transform(dense)
+    # incomplete-context rows arrive as NULL or NaN depending on the Arrow
+    # path — isnan(NULL) is false, so both checks are needed
+    return out.filter(
+        F.col("emb_0").isNotNull() & ~F.isnan("emb_0")
+    ).select(
+        "event_type", epoch(),
+        F.round("emb_0", 6).alias("emb_0"),
+        F.round("emb_1", 6).alias("emb_1"),
+    )
+
+
+@register(
+    "embedding_segment_1h",
+    _DENSE_1H + _EMB_SQL + """
+SELECT event_type,
+  round(sum(e0) / count(e0), 6) AS emb_0,
+  round(sum(e1) / count(e1), 6) AS emb_1
+FROM emb GROUP BY 1
+""",
+)
+def q_embedding_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmbeddingSegmentTransform (reference embeddings/embedding_segment.py:
+    17-120): one vector per series = mean of the valid window embeddings;
+    every addend is an exact multiple of 1/16 so the sum is
+    aggregation-order-independent and the single division bit-matches."""
+    from etna_spark.operators.embeddings import (
+        EmbeddingSegmentTransform, RandomConvEmbeddingModel,
+    )
+
+    dense = _dense_1h(spark, sf_dir)
+    out = EmbeddingSegmentTransform(
+        in_col="v",
+        embedding_model=RandomConvEmbeddingModel(output_dims=2, window=4, seed=0),
+        out_column="emb", series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit_transform(dense)
+    return out.select(
+        "event_type",
+        F.round("emb_0", 6).alias("emb_0"),
+        F.round("emb_1", 6).alias("emb_1"),
+    ).distinct()
