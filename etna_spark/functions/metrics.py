@@ -112,3 +112,54 @@ def compute_metrics(
             )
             out = out.crossJoin(md)
     return out
+
+
+def interval_metrics(
+    df: DataFrame,
+    true_col: str = "value",
+    lower_col: str = "lower",
+    upper_col: str = "upper",
+    metrics: Sequence[str] = ("coverage", "width"),
+    mode: str = "per-segment",
+    missing_mode: str = "error",
+    series_cols: Sequence[str] = ("series",),
+) -> DataFrame:
+    """Prediction-interval metrics (reference metrics/intervals_metrics.py:
+    60-320):
+
+    - coverage = share of samples with lower <= y_true <= upper;
+    - width    = mean |upper - lower|.
+
+    ``missing_mode='error'`` raises on any missing y_true (the reference's
+    default); ``'ignore'`` skips missing rows, with sums computed over
+    exact sufficient statistics (one division at the end) so results are
+    aggregation-order-independent for integer-valued inputs."""
+    for m in metrics:
+        if m not in ("coverage", "width"):
+            raise ValueError(f"unknown interval metric '{m}'")
+    if missing_mode not in ("error", "ignore"):
+        raise ValueError(f"unknown missing_mode '{missing_mode}'")
+    y = F.col(true_col)
+    lo, hi = F.col(lower_col), F.col(upper_col)
+    if missing_mode == "error":
+        if df.filter(y.isNull()).limit(1).count() > 0:
+            raise ValueError(
+                "There are NaNs in y_true; "
+                "use missing_mode='ignore' to skip them"
+            )
+    keys = list(series_cols) if mode == "per-segment" else []
+    exprs = []
+    for m in metrics:
+        if m == "coverage":
+            hit = F.when(
+                y.isNotNull(), ((y >= lo) & (y <= hi)).cast("long")
+            )
+            exprs.append(
+                (F.sum(hit).cast("double") / F.count(hit)).alias("coverage")
+            )
+        else:
+            w = F.when(y.isNotNull(), F.abs(hi - lo))
+            exprs.append(
+                (F.sum(w) / F.count(w)).alias("width")
+            )
+    return df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)

@@ -638,3 +638,52 @@ def q_embedding_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("emb_0", 6).alias("emb_0"),
         F.round("emb_1", 6).alias("emb_1"),
     ).distinct()
+
+
+@register(
+    "metrics_interval_1h",
+    _DENSE_1H
+    + """
+, iv AS (
+  SELECT event_type, CAST(v AS DOUBLE) AS y,
+    least(CAST(lag(v, 1) OVER w AS DOUBLE), CAST(lag(v, 2) OVER w AS DOUBLE))
+      AS lower,
+    greatest(CAST(lag(v, 1) OVER w AS DOUBLE), CAST(lag(v, 2) OVER w AS DOUBLE))
+      AS upper
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), base AS (
+  SELECT * FROM iv WHERE lower IS NOT NULL
+)
+SELECT event_type,
+  round(CAST(sum(CASE WHEN y >= lower AND y <= upper THEN 1 ELSE 0 END)
+        AS DOUBLE) / count(*), 6) AS coverage,
+  round(sum(abs(upper - lower)) / count(*), 6) AS width
+FROM base GROUP BY 1
+""",
+)
+def q_metrics_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage and Width interval metrics (reference metrics/
+    intervals_metrics.py:60-320) over a deterministic interval column pair
+    (the envelope of the two previous hourly values): integer-cent inputs
+    keep both sufficient-statistic sums exact, one division each."""
+    from etna_spark.functions.metrics import interval_metrics
+    from pyspark.sql import Window
+
+    d = _dense_1h(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    l1, l2 = F.lag("v", 1).over(w), F.lag("v", 2).over(w)
+    iv = d.select(
+        "event_type", F.col("v").alias("y"),
+        F.least(l1, l2).alias("lower"),
+        F.greatest(l1, l2).alias("upper"),
+    ).filter(F.col("lower").isNotNull())
+    out = interval_metrics(
+        iv, true_col="y", lower_col="lower", upper_col="upper",
+        series_cols=("event_type",),
+    )
+    return out.select(
+        "event_type",
+        F.round("coverage", 6).alias("coverage"),
+        F.round("width", 6).alias("width"),
+    )

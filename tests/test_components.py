@@ -251,3 +251,45 @@ def test_deadline_ma_validations(spark):
     ).fit(df)
     with pytest.raises(Exception, match="context isn't big enough"):
         p.forecast().collect()
+
+
+def test_interval_metrics_coverage_and_width(spark):
+    from etna_spark.functions.metrics import interval_metrics
+
+    rows = []
+    for s in ("a", "b"):
+        for i in range(10):
+            y = float(i)
+            lo = y - (1.0 if i % 2 == 0 else -0.5)  # odd rows: y < lo → miss
+            hi = y + 2.0
+            rows.append((s, START + dt.timedelta(hours=i), y, lo, hi))
+    df = spark.createDataFrame(
+        rows, "series string, ts timestamp, value double, lower double, "
+        "upper double",
+    )
+    out = interval_metrics(df).toPandas().set_index("series")
+    np.testing.assert_allclose(out.loc["a", "coverage"], 0.5)
+    # width alternates |2+1|=3 and |2-0.5|=1.5 → mean 2.25
+    np.testing.assert_allclose(out.loc["a", "width"], 2.25)
+    macro = interval_metrics(df, mode="macro").collect()[0]
+    np.testing.assert_allclose(macro["coverage"], 0.5)
+
+
+def test_interval_metrics_missing_modes(spark):
+    from etna_spark.functions.metrics import interval_metrics
+
+    rows = [
+        ("a", START, 1.0, 0.0, 2.0),
+        ("a", START + dt.timedelta(hours=1), None, 0.0, 2.0),
+        ("a", START + dt.timedelta(hours=2), 5.0, 0.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, ts timestamp, value double, lower double, "
+        "upper double",
+    )
+    with pytest.raises(ValueError, match="NaNs in y_true"):
+        interval_metrics(df)
+    out = interval_metrics(df, missing_mode="ignore").collect()[0]
+    np.testing.assert_allclose(out["coverage"], 0.5)  # 1 hit of 2 valid
+    with pytest.raises(ValueError, match="unknown interval metric"):
+        interval_metrics(df, metrics=("iou",), missing_mode="ignore")
