@@ -687,3 +687,48 @@ def q_metrics_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("coverage", 6).alias("coverage"),
         F.round("width", 6).alias("width"),
     )
+
+
+@register(
+    "eda_correlation_matrix",
+    """
+WITH series AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT a.event_type AS s1, b.event_type AS s2,
+    count(*) AS n,
+    sum(a.v) AS sx, sum(b.v) AS sy, sum(a.v * b.v) AS sxy,
+    sum(a.v * a.v) AS sxx, sum(b.v * b.v) AS syy
+  FROM series a
+  JOIN series b ON a.bucket_ts = b.bucket_ts AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT s1, s2,
+  round(
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+  6) AS corr
+FROM stats
+""",
+)
+def q_eda_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_correlation_matrix (reference analysis/eda/utils.py:14-54):
+    pairwise Pearson correlation between the hourly event series via exact
+    integer sufficient statistics — one identical closed-form float chain
+    in both engines."""
+    from etna_spark.operators.relevance import correlation_matrix
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").alias("v"),
+    )
+    out = correlation_matrix(
+        s, series_col="event_type", ts_col="bucket_ts", value_col="v"
+    )
+    return out.select("s1", "s2", F.round("corr", 6).alias("corr"))
