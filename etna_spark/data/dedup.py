@@ -258,3 +258,88 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (node, component)
+    with component = min node id of the component.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels; converges in O(graph diameter)
+    rounds, each one equi-join + hash aggregate. Near-dup graphs are
+    shallow (clusters are cliques-ish), so a handful of rounds suffices; at
+    extreme scale swap in the large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014) — same
+    interface, fewer rounds on high-diameter graphs. Each round is
+    materialized so the plan never nests.
+
+    Only nodes that appear in ``edges`` are labeled (isolated docs are
+    their own component trivially).
+    """
+    from etna_spark.plans.state import materialize
+
+    und = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct()
+    labels = und.select("u").distinct().withColumn("component", F.col("u"))
+    for _ in range(max_iter):
+        nb = (
+            und.join(
+                labels.withColumnRenamed("u", "v").withColumnRenamed(
+                    "component", "_nc"
+                ),
+                on="v",
+            )
+            .groupBy("u")
+            .agg(F.min("_nc").alias("_nb"))
+        )
+        new = materialize(
+            labels.join(nb, on="u", how="left").select(
+                "u",
+                F.least(
+                    F.col("component"), F.coalesce("_nb", "component")
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new.join(
+                labels.withColumnRenamed("component", "_old"), on="u"
+            )
+            .filter(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup clustering end-to-end: shingle-join candidate pairs →
+    Jaccard filter → connected components → (doc_id, component,
+    cluster_size). The dedup decision is ``doc_id == component`` (keep the
+    min-id canonical per cluster)."""
+    pairs = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, k=k,
+        threshold=threshold, max_bucket=max_bucket,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(F.broadcast(sizes), on="component").select(
+        F.col("u").alias(id_col), "component", "cluster_size"
+    )

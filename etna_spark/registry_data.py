@@ -211,3 +211,68 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 5).alias("cosine_sim"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+_COMPONENTS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id,
+    CAST(list_reduce(
+      [CAST(0 AS BIGINT)] ||
+      list_transform(string_split(s.sh_str, ' '), w -> unicode(w) * length(w)),
+      (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS sh
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(
+        range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+      )) AS sh_str
+    FROM documents
+  ) s
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), capped AS (
+  SELECT * FROM sh WHERE sh IN (
+    SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
+), und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+), csize AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(c.component AS BIGINT) AS component,
+       cluster_size
+FROM comp c JOIN csize USING (component)
+"""
+
+
+@register("dedup_connected_components", _COMPONENTS_SQL)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: the Jaccard candidate pairs (same edge set as
+    dedup_ngram_jaccard) collapsed to connected components by iterative
+    min-label propagation — the canonical-doc-selection step of a web-scale
+    dedup pipeline (keep doc_id == component). The oracle reproduces the
+    components with a recursive transitive-closure CTE."""
+    from etna_spark.data.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(
+        docs, id_col="doc_id", text_col="text", k=3,
+        threshold=0.05, max_bucket=64,
+    )

@@ -173,3 +173,36 @@ def test_frame_sampling(spark):
     assert [r["frame_idx"] for r in sorted(one, key=lambda r: r["frame_ts_ms"])] == list(
         range(len(one))
     )
+
+
+def test_connected_components_label_propagation(spark):
+    from etna_spark.data.dedup import connected_components
+
+    # two components: {1,2,3,4} (a path, diameter 3) and {10, 11}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["u"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    from etna_spark.data.dedup import dedup_clusters
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "the quick brown fox jumps over the lazy cat today"),
+        (4, "completely different text with no overlap at all here"),
+        (5, "another unrelated document about spark and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_clusters(df, threshold=0.3).toPandas().set_index("doc_id")
+    # 1,2,3 form one near-dup cluster with canonical 1; 4 and 5 have no
+    # qualifying pairs and are absent (isolated docs are trivially unique)
+    assert set(out.index) == {1, 2, 3}
+    assert (out["component"] == 1).all()
+    assert (out["cluster_size"] == 3).all()
