@@ -111,3 +111,76 @@ def test_macro_mode_has_no_unpartitioned_full_row_window(spark):
     assert re.search(r"sum\(_d#\d+\) windowspecdefinition", plan2)
     assert "HashAggregate" in plan2
     assert not re.search(r"sum\(\(prediction#\d+ - value#\d+\)\) windowspecdefinition", plan2)
+
+
+def test_reconcile_proportion_join_is_broadcast(spark):
+    """Top-down reconcile attaches the per-child proportion table via a
+    broadcast join (one row per child series, never a shuffle of the
+    forecast side)."""
+    import datetime as dt
+
+    from etna_spark.operators.reconciliation import TopDownReconciliator
+
+    mapping = spark.createDataFrame(
+        [("c1", "p1"), ("c2", "p1")], "child string, parent string"
+    )
+    rows = [
+        ("c1", dt.datetime(2021, 1, 1 + i), float(i + 1)) for i in range(5)
+    ] + [
+        ("c2", dt.datetime(2021, 1, 1 + i), float(2 * i + 2)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "child string, ts timestamp, value double")
+    rec = TopDownReconciliator(
+        mapping, "child", "parent", period=3, method="PHA",
+        value_col="value", ts_col="ts",
+    ).fit(df)
+    fc = spark.createDataFrame(
+        [("p1", dt.datetime(2021, 1, 9), 10.0)],
+        "parent string, ts timestamp, value double",
+    )
+    assert "BroadcastHashJoin" in _plan(rec.reconcile(fc))
+
+
+def test_euclidean_distance_matrix_is_one_aggregate(spark):
+    """The pairwise distance matrix must be join + hash aggregate — no
+    Python, no window, no nested-loop join on the big side."""
+    import datetime as dt
+
+    from etna_spark.operators.clustering import euclidean_distance_matrix
+
+    rows = [
+        (s, dt.datetime(2021, 1, 1, h), float(h))
+        for s in ("a", "b", "c") for h in range(6)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    plan = _plan(euclidean_distance_matrix(df))
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_voting_forecast_is_projection_over_joins(spark):
+    """The vote itself must be a JVM-side weighted-sum projection — the
+    pandas stages belong to the base models only."""
+    import datetime as dt
+
+    from etna_spark.plans.ensembles import VotingEnsemble
+    from etna_spark.plans.pipeline import Pipeline, naive_model
+
+    rows = [
+        ("a", dt.datetime(2021, 1, 1) + dt.timedelta(days=i), float(i % 7))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    pipes = [
+        Pipeline(model=naive_model(7), horizon=3, step_seconds=86400,
+                 in_col="value", series_cols=("series",), ts_col="ts"),
+        Pipeline(model=naive_model(1), horizon=3, step_seconds=86400,
+                 in_col="value", series_cols=("series",), ts_col="ts"),
+    ]
+    ens = VotingEnsemble(pipes, weights=[1.0, 1.0]).fit(df)
+    base_kernels = sum(
+        _plan(p.forecast()).count("FlatMapGroupsInPandas") for p in pipes
+    )
+    plan = _plan(ens.forecast())
+    # the vote adds no Python stage beyond the base-model kernels
+    assert plan.count("FlatMapGroupsInPandas") == base_kernels
