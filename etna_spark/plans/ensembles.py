@@ -140,6 +140,81 @@ class VotingEnsemble:
         return joined.select(*keys, vote.alias(base.in_col))
 
 
+class StackingEnsemble:
+    """Meta-model over the base pipelines' forecasts (reference
+    ensembles/stacking_ensemble.py:26-250). The reference's default
+    final_model is sklearn LinearRegression; here the meta-model is OLS
+    with intercept fitted from EXACT normal-equation sufficient statistics
+    — one distributed aggregation builds XᵀX / Xᵀy (a (k+1)² scalar block
+    for k base pipelines), the tiny solve happens on the driver, and the
+    final forecast is a JVM-side affine projection over the joined base
+    forecasts. No training data ever moves to the driver."""
+
+    def __init__(self, pipelines: Sequence, n_folds: int = 3):
+        _validate_common(pipelines)
+        if len({p.horizon for p in pipelines}) != 1:
+            raise ValueError("All the pipelines should have the same horizon.")
+        self.pipelines = list(pipelines)
+        self.n_folds = n_folds
+        self.horizon = pipelines[0].horizon
+        self.intercept_: float | None = None
+        self.coef_: list[float] | None = None
+
+    def fit(self, df: DataFrame) -> "StackingEnsemble":
+        for p in self.pipelines:
+            p.fit(df)
+        base = self.pipelines[0]
+        keys = [*base.series_cols, base.ts_col]
+        joined = None
+        for i, p in enumerate(self.pipelines):
+            h = p.get_historical_forecasts(df, n_folds=self.n_folds)
+            sel = h.select(
+                *keys,
+                *([base.in_col] if i == 0 else []),
+                F.col("prediction").alias(f"_p{i}"),
+            )
+            joined = sel if joined is None else joined.join(sel, on=keys)
+        joined = joined.dropna()
+        k = len(self.pipelines)
+        feats = [F.lit(1.0)] + [F.col(f"_p{i}") for i in range(k)]
+        y = F.col(base.in_col)
+        exprs = []
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                exprs.append(F.sum(feats[i] * feats[j]).alias(f"_a_{i}_{j}"))
+            exprs.append(F.sum(feats[i] * y).alias(f"_b_{i}"))
+        row = joined.agg(*exprs).collect()[0]
+        a = np.empty((k + 1, k + 1))
+        b = np.empty(k + 1)
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                a[i, j] = a[j, i] = row[f"_a_{i}_{j}"]
+            b[i] = row[f"_b_{i}"]
+        # lstsq: collinear base forecasts (e.g. two identical models) get
+        # the minimum-norm solution instead of a singular-matrix error
+        sol = np.linalg.lstsq(a, b, rcond=None)[0]
+        self.intercept_ = float(sol[0])
+        self.coef_ = [float(c) for c in sol[1:]]
+        return self
+
+    def forecast(self) -> DataFrame:
+        if self.coef_ is None:
+            raise ValueError("StackingEnsemble is not fitted!")
+        base = self.pipelines[0]
+        keys = [*base.series_cols, base.ts_col]
+        joined = None
+        for i, p in enumerate(self.pipelines):
+            fc = p.forecast().select(
+                *keys, F.col(base.in_col).alias(f"_p{i}")
+            )
+            joined = fc if joined is None else joined.join(fc, on=keys)
+        pred = sum(
+            (F.lit(w) * F.col(f"_p{i}") for i, w in enumerate(self.coef_)),
+            F.lit(self.intercept_),
+        )
+        return joined.select(*keys, pred.alias(base.in_col))
+
+
 class DirectEnsemble:
     def __init__(self, pipelines: Sequence):
         _validate_common(pipelines)

@@ -732,3 +732,60 @@ def q_eda_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         s, series_col="event_type", ts_col="bucket_ts", value_col="v"
     )
     return out.select("s1", "s2", F.round("corr", 6).alias("corr"))
+
+
+@register("ensemble_stacking_1h", None)
+def q_ensemble_stacking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StackingEnsemble (reference ensembles/stacking_ensemble.py:26-250):
+    the OLS meta-fit is a LAPACK solve (not SQL-expressible) → rows-only,
+    SELF-VERIFYING: with an intercept, the stacked in-sample MSE over the
+    backtest span can never exceed either base model's (each base is in the
+    regression span) — all_match=1 pins that the normal equations were
+    assembled and solved correctly."""
+    from etna_spark.plans.ensembles import StackingEnsemble
+    from etna_spark.plans.pipeline import (
+        Pipeline, SeasonalMovingAverageModel, naive_model,
+    )
+
+    dense = _dense_1h(spark, sf_dir)
+
+    def pipe(model):
+        return Pipeline(
+            model=model, horizon=6, step_seconds=3600,
+            in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+        )
+
+    pipes = [pipe(naive_model(24)),
+             pipe(SeasonalMovingAverageModel(window=2, seasonality=24))]
+    ens = StackingEnsemble(pipes, n_folds=3).fit(dense)
+    keys = ["event_type", "bucket_ts"]
+    joined = None
+    for i, p in enumerate(pipes):
+        h = p.get_historical_forecasts(dense, n_folds=3).select(
+            *keys, *(["v"] if i == 0 else []),
+            F.col("prediction").alias(f"_p{i}"),
+        )
+        joined = h if joined is None else joined.join(h, on=keys)
+    stacked = (
+        F.lit(ens.intercept_)
+        + F.lit(ens.coef_[0]) * F.col("_p0")
+        + F.lit(ens.coef_[1]) * F.col("_p1")
+    )
+    e = [F.col("v") - F.col("_p0"), F.col("v") - F.col("_p1"),
+         F.col("v") - stacked]
+    agg = joined.dropna().agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.avg(e[0] * e[0]).alias("mse_naive"),
+        F.avg(e[1] * e[1]).alias("mse_sma"),
+        F.avg(e[2] * e[2]).alias("mse_stacked"),
+    )
+    return agg.select(
+        "n_points",
+        F.round("mse_naive", 4).alias("mse_naive"),
+        F.round("mse_sma", 4).alias("mse_sma"),
+        F.round("mse_stacked", 4).alias("mse_stacked"),
+        (
+            (F.col("mse_stacked") <= F.col("mse_naive") + 1e-6)
+            & (F.col("mse_stacked") <= F.col("mse_sma") + 1e-6)
+        ).cast("int").alias("all_match"),
+    )

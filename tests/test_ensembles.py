@@ -183,3 +183,53 @@ def test_autoregressive_validations(spark, weekly_df):
         AutoRegressivePipeline(model=naive_model(1), horizon=3, step=0)
     with pytest.raises(ValueError, match="not fitted"):
         AutoRegressivePipeline(model=naive_model(1), horizon=3).forecast()
+
+
+def test_stacking_matches_numpy_ols(spark, weekly_df):
+    from etna_spark.plans.ensembles import StackingEnsemble
+
+    pipes = [_pipe(naive_model(7)), _pipe(naive_model(1))]
+    ens = StackingEnsemble(pipes, n_folds=3).fit(weekly_df)
+    # reproduce the meta-fit with numpy over the same design matrix
+    ref_pipes = [_pipe(naive_model(7)).fit(weekly_df),
+                 _pipe(naive_model(1)).fit(weekly_df)]
+    hists = [
+        p.get_historical_forecasts(weekly_df, n_folds=3)
+        .toPandas().set_index(["series", "ts"])["prediction"]
+        for p in ref_pipes
+    ]
+    actual = (
+        ref_pipes[0].get_historical_forecasts(weekly_df, n_folds=3)
+        .toPandas().set_index(["series", "ts"])["value"]
+    )
+    idx = hists[0].sort_index().index
+    X = np.column_stack(
+        [np.ones(len(idx))] + [h.loc[idx].to_numpy() for h in hists]
+    )
+    y = actual.loc[idx].to_numpy()
+    sol = np.linalg.lstsq(X.T @ X, X.T @ y, rcond=None)[0]
+    np.testing.assert_allclose(ens.intercept_, sol[0], atol=1e-8)
+    np.testing.assert_allclose(ens.coef_, sol[1:], atol=1e-8)
+    # the perfect seasonal-naive base should dominate the meta-weights
+    assert abs(ens.coef_[0]) > abs(ens.coef_[1])
+    out = ens.forecast().toPandas()
+    f = [p.forecast().toPandas().set_index(["series", "ts"])["value"]
+         for p in ref_pipes]
+    expect = (
+        ens.intercept_ + ens.coef_[0] * f[0] + ens.coef_[1] * f[1]
+    ).sort_index()
+    got = out.set_index(["series", "ts"])["value"].sort_index()
+    np.testing.assert_allclose(got.to_numpy(), expect.to_numpy(), rtol=1e-9)
+
+
+def test_stacking_validations(spark, weekly_df):
+    from etna_spark.plans.ensembles import StackingEnsemble
+
+    with pytest.raises(ValueError, match="At least two"):
+        StackingEnsemble([_pipe(naive_model(1))])
+    with pytest.raises(ValueError, match="same horizon"):
+        StackingEnsemble([_pipe(naive_model(1), 3), _pipe(naive_model(1), 5)])
+    with pytest.raises(ValueError, match="not fitted"):
+        StackingEnsemble(
+            [_pipe(naive_model(1)), _pipe(naive_model(7))]
+        ).forecast()
