@@ -1,0 +1,106 @@
+"""spark-submit entry point: forecast / backtest a panel, CLI-configured.
+
+    spark-submit --py-files etna_spark.zip jobs/forecast_backtest.py \
+        forecast --input /data/panel.parquet --output /data/fc.parquet \
+        --model seasonal_ma --window 2 --seasonality 24 --horizon 6 \
+        --step-seconds 3600 [--prediction-interval] [--quantiles 0.025,0.975]
+
+    spark-submit ... jobs/forecast_backtest.py \
+        backtest --input /data/panel.parquet --output /data/metrics.parquet \
+        --model naive --seasonality 24 --horizon 6 --n-folds 3 \
+        --metrics mae,mse,smape
+
+The Spark twin of the reference's ``etna forecast`` / ``etna backtest``
+commands (/root/reference/etna/commands/forecast_command.py:1-210,
+backtest_command.py) with stdlib argparse in place of hydra/typer (absent
+here). Input is a long panel parquet (series, ts, value); output is written
+as parquet and a one-line JSON summary goes to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# runnable both via spark-submit --py-files and plain python from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etna_spark.plans.pipeline import (  # noqa: E402
+    DeadlineMovingAverageModel,
+    Pipeline,
+    SeasonalMovingAverageModel,
+)
+from etna_spark.session import get_spark  # noqa: E402
+
+
+def build_model(args):
+    if args.model in ("naive", "moving_average", "seasonal_ma"):
+        window = 1 if args.model == "naive" else args.window
+        seasonality = 1 if args.model == "moving_average" else args.seasonality
+        return SeasonalMovingAverageModel(window=window, seasonality=seasonality)
+    if args.model == "deadline_ma":
+        return DeadlineMovingAverageModel(
+            window=args.window, seasonality=args.deadline_seasonality
+        )
+    raise SystemExit(f"unknown model '{args.model}'")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("command", choices=["forecast", "backtest"])
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--model", default="naive",
+                    choices=["naive", "moving_average", "seasonal_ma",
+                             "deadline_ma"])
+    ap.add_argument("--window", type=int, default=1)
+    ap.add_argument("--seasonality", type=int, default=1)
+    ap.add_argument("--deadline-seasonality", default="month")
+    ap.add_argument("--horizon", type=int, default=7)
+    ap.add_argument("--step-seconds", type=int, default=86400)
+    ap.add_argument("--series-cols", default="series")
+    ap.add_argument("--ts-col", default="ts")
+    ap.add_argument("--value-col", default="value")
+    ap.add_argument("--prediction-interval", action="store_true")
+    ap.add_argument("--quantiles", default="0.025,0.975")
+    ap.add_argument("--n-folds", type=int, default=3)
+    ap.add_argument("--metrics", default="mae,mse,smape")
+    args = ap.parse_args()
+
+    spark = get_spark("etna-forecast-backtest")
+    from etna_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)  # model kernels import etna_spark on executors
+    df = spark.read.parquet(args.input)
+    pipeline = Pipeline(
+        model=build_model(args),
+        horizon=args.horizon,
+        step_seconds=args.step_seconds,
+        in_col=args.value_col,
+        series_cols=tuple(args.series_cols.split(",")),
+        ts_col=args.ts_col,
+    )
+    if args.command == "forecast":
+        pipeline.fit(df)
+        out = pipeline.forecast(
+            prediction_interval=args.prediction_interval,
+            quantiles=tuple(float(q) for q in args.quantiles.split(",")),
+            n_folds=args.n_folds,
+        )
+    else:
+        out = pipeline.backtest(
+            df, metrics=tuple(args.metrics.split(",")), n_folds=args.n_folds
+        )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({
+        "event": args.command, "rows": n, "output": args.output,
+        "model": args.model, "horizon": args.horizon,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
