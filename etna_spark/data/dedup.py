@@ -283,12 +283,17 @@ def connected_components(
     """
     from etna_spark.plans.state import materialize
 
-    und = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct()
+    # pin the (possibly expensive) candidate-pair lineage ONCE — every
+    # propagation round joins against und twice otherwise
+    und = materialize(
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        ).distinct()
+    )
     labels = und.select("u").distinct().withColumn("component", F.col("u"))
+    converged = False
     for _ in range(max_iter):
         nb = (
             und.join(
@@ -318,7 +323,14 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds max_iter) — raise max_iter or switch "
+            f"to the large-star/small-star contraction"
+        )
     return labels
 
 
@@ -340,6 +352,8 @@ def dedup_clusters(
     )
     comp = connected_components(pairs, src="id_a", dst="id_b")
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return comp.join(F.broadcast(sizes), on="component").select(
+    # no forced broadcast: the sizes table is one row per CLUSTER —
+    # unbounded at corpus scale; let Spark's size-limited machinery decide
+    return comp.join(sizes, on="component").select(
         F.col("u").alias(id_col), "component", "cluster_size"
     )

@@ -151,8 +151,14 @@ def interval_metrics(
     exprs = []
     for m in metrics:
         if m == "coverage":
+            # a NULL bound means NOT covered (the reference's y >= NaN is
+            # False) — coalesce keeps the row in the denominator instead of
+            # silently inflating coverage
             hit = F.when(
-                y.isNotNull(), ((y >= lo) & (y <= hi)).cast("long")
+                y.isNotNull(),
+                F.coalesce(
+                    ((y >= lo) & (y <= hi)).cast("long"), F.lit(0)
+                ),
             )
             exprs.append(
                 (F.sum(hit).cast("double") / F.count(hit)).alias("coverage")

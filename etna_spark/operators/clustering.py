@@ -63,6 +63,9 @@ def euclidean_distance_matrix(
 
 
 def _pack(df: DataFrame, series_col: str, ts_col: str, value_col: str):
+    # drop nulls like the reference's pre-DP NaN trim (dtw_distance.py):
+    # one NULL observation must not poison every pair's DP with NaN
+    df = df.filter(F.col(value_col).isNotNull())
     return df.groupBy(F.col(series_col).alias("s")).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col(ts_col), F.col(value_col).alias("v")))
@@ -139,26 +142,35 @@ def dtw_distance_pairs_sym(
 
 
 def agglomerate(
-    dist_pdf: pd.DataFrame, n_clusters: int, linkage: str = "average"
+    dist_pdf: pd.DataFrame,
+    n_clusters: int,
+    linkage: str = "average",
+    nodes: list | None = None,
 ) -> dict:
     """Lance-Williams agglomerative clustering over a collected pair list
     (columns s1, s2, dist). Returns {series: cluster_label} with labels
-    0..n_clusters-1 in first-seen order of the sorted series list."""
+    0..n_clusters-1 in first-seen order of the sorted series list.
+
+    ``nodes`` fixes the label universe — a series with no pair rows (no
+    timestamp overlap with anyone) still gets a label; absent pairs default
+    to +inf distance (never merged), not 0."""
     if linkage not in LINKAGES:
         raise ValueError(
             f"linkage must be one of {LINKAGES} for a precomputed distance "
             f"matrix (ward needs feature-space input), got '{linkage}'"
         )
-    names = sorted(set(dist_pdf["s1"]) | set(dist_pdf["s2"]))
+    names = sorted(
+        set(nodes) if nodes is not None
+        else set(dist_pdf["s1"]) | set(dist_pdf["s2"])
+    )
     idx = {s: i for i, s in enumerate(names)}
     n = len(names)
     if n_clusters < 1 or n_clusters > n:
         raise ValueError(f"n_clusters must be in [1, {n}], got {n_clusters}")
-    d = np.zeros((n, n))
+    d = np.full((n, n), np.inf)
     for s1, s2, v in dist_pdf[["s1", "s2", "dist"]].itertuples(index=False):
         d[idx[s1], idx[s2]] = v
         d[idx[s2], idx[s1]] = v
-    np.fill_diagonal(d, np.inf)
     members = {i: [i] for i in range(n)}
     sizes = {i: 1 for i in range(n)}
     active = set(range(n))
@@ -233,7 +245,13 @@ class HierarchicalClustering:
                 "Distance matrix is not built! Call build_distance_matrix "
                 "before fit_predict."
             )
-        labels = agglomerate(self._dist.toPandas(), n_clusters, linkage)
+        nodes = [
+            r[0]
+            for r in self._df.select(self.series_col).distinct().collect()
+        ]
+        labels = agglomerate(
+            self._dist.toPandas(), n_clusters, linkage, nodes=nodes
+        )
         self.segment2cluster = labels
         spark = self._df.sparkSession
         return spark.createDataFrame(

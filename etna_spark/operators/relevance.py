@@ -48,7 +48,12 @@ def correlation_matrix(
         F.col(value_col).alias("_y"),
     ).filter(F.col("_y").isNotNull())
     pairs = a.join(b, on="_ts").filter(F.col("s1") < F.col("s2"))
-    x, y = F.col("_x"), F.col("_y")
+    # sum in DOUBLE: integer-typed inputs would overflow int64 under ANSI
+    # (x·x ~1e16 summed) and raise. Integer-VALUED doubles keep every sum
+    # exact up to 2^53 — the envelope inside which results stay
+    # aggregation-order-independent; beyond it results are still correct to
+    # double precision, just not bit-pinned.
+    x, y = F.col("_x").cast("double"), F.col("_y").cast("double")
     stats = pairs.groupBy("s1", "s2").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),

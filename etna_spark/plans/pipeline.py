@@ -243,10 +243,12 @@ class Pipeline:
         self.series_cols = list(series_cols)
         self.ts_col = ts_col
         self._train: DataFrame | None = None
+        self._raw: DataFrame | None = None
 
     def fit(self, df: DataFrame) -> "Pipeline":
         if hasattr(self.model, "validate_step"):
             self.model.validate_step(self.step_seconds)
+        self._raw = df  # original units: interval borders are fitted here
         cur = df
         for t in self.transforms:
             t.fit(cur)
@@ -337,15 +339,24 @@ class Pipeline:
                 for lag, c in zip(lags, comp_cols):
                     idx = np.arange(n, n + horizon) - lag
                     pdf[c] = np.nan
-                    pdf.loc[pdf.index[-horizon:], c] = y_full[idx] / window
+                    # guard: a series shorter than the lag must yield NaN,
+                    # not numpy's wrap-around indexing from the array end
+                    vals = np.where(
+                        idx >= 0, y_full[np.clip(idx, 0, None)], np.nan
+                    )
+                    pdf.loc[pdf.index[-horizon:], c] = vals / window
             return pdf.iloc[-horizon:]
 
         result = full.groupBy(*self.series_cols).applyInPandas(fc, schema_ddl)
-        if prediction_interval:
-            result = self._add_forecast_borders(result, quantiles, n_folds)
         for t in reversed(self.transforms):
             if hasattr(t, "inverse_transform"):
                 result = t.inverse_transform(result)
+        # borders are added in ORIGINAL units after the inverse transforms
+        # (the reference adds them to the already-inverse-transformed
+        # predictions, base.py:453) — sigma comes from backtests over the
+        # RAW training frame, so quantile columns bracket the final values
+        if prediction_interval:
+            result = self._add_forecast_borders(result, quantiles, n_folds)
         return result
 
     def get_historical_forecasts(
@@ -361,6 +372,8 @@ class Pipeline:
         return out
 
     def _fold_forecasts(self, df, n_folds, stride):
+        import copy
+
         bounds = df.agg(
             F.min(self.ts_col).alias("mn"), F.max(self.ts_col).alias("mx")
         ).collect()[0]
@@ -371,8 +384,15 @@ class Pipeline:
         )
         for fold in folds:
             train, test = apply_fold(df, fold, ts_col=self.ts_col)
+            # per-fold transform COPIES like the reference's per-fold
+            # pipeline copies (base.py joblib fan-out): refitting on a fold
+            # slice must not clobber the fitted state of THIS pipeline's
+            # transforms. Shallow copies suffice — fit() reassigns state
+            # attributes — and unlike deepcopy they don't try to clone
+            # JVM-backed DataFrames held as fitted state.
             p = Pipeline(
-                model=self.model, transforms=self.transforms,
+                model=self.model,
+                transforms=[copy.copy(t) for t in self.transforms],
                 horizon=self.horizon, step_seconds=self.step_seconds,
                 in_col=self.in_col, series_cols=self.series_cols,
                 ts_col=self.ts_col,
@@ -397,7 +417,10 @@ class Pipeline:
 
         from etna_spark.plans.state import materialize
 
-        hist = self.get_historical_forecasts(self._train, n_folds=n_folds)
+        # RAW frame, not self._train: fold pipelines apply the transform
+        # chain themselves, so feeding the transformed frame would
+        # double-transform and sigma would live in the wrong units
+        hist = self.get_historical_forecasts(self._raw, n_folds=n_folds)
         # the applyInPandas kernel emits NaN (not NULL) when a fold lacks
         # context — nanvl maps those to NULL so count/sum skip them instead
         # of poisoning sigma

@@ -140,3 +140,21 @@ def test_not_fitted_raises(spark, series_df):
         hc.fit_predict(2)
     with pytest.raises(ValueError, match="not fitted"):
         hc.get_centroids()
+
+
+def test_isolated_series_still_gets_label(spark, series_df):
+    # a series with zero timestamp overlap appears in no distance pair but
+    # must still receive a cluster label (its own singleton at k=3)
+    import datetime as _dt
+
+    extra = spark.createDataFrame(
+        [("lonely", _dt.datetime(2030, 1, 1, h), float(h)) for h in range(6)],
+        "series string, ts timestamp, value double",
+    )
+    hc = HierarchicalClustering(distance="euclidean").build_distance_matrix(
+        series_df.unionByName(extra)
+    )
+    out = hc.fit_predict(n_clusters=3).toPandas().set_index("series")["cluster"]
+    assert "lonely" in out.index
+    # the isolated series is never merged into a real cluster (inf distance)
+    assert (out.drop("lonely") != out["lonely"]).all()

@@ -293,3 +293,83 @@ def test_interval_metrics_missing_modes(spark):
     np.testing.assert_allclose(out["coverage"], 0.5)  # 1 hit of 2 valid
     with pytest.raises(ValueError, match="unknown interval metric"):
         interval_metrics(df, metrics=("iou",), missing_mode="ignore")
+
+
+def test_interval_metrics_null_bounds_count_as_misses(spark):
+    from etna_spark.functions.metrics import interval_metrics
+
+    rows = [
+        ("a", START, 1.0, 0.0, 2.0),                               # hit
+        ("a", START + dt.timedelta(hours=1), 1.0, None, 2.0),      # miss
+        ("a", START + dt.timedelta(hours=2), 1.0, 0.0, None),      # miss
+        ("a", START + dt.timedelta(hours=3), 9.0, 0.0, 2.0),       # miss
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, ts timestamp, value double, lower double, "
+        "upper double",
+    )
+    out = interval_metrics(df).collect()[0]
+    np.testing.assert_allclose(out["coverage"], 0.25)  # 1 of 4, not 1 of 2
+
+
+def test_interval_forecast_with_transform_brackets_in_original_units(spark):
+    # borders must be added AFTER the inverse transforms (reference adds
+    # them to inverse-transformed predictions), and the fold refits must
+    # not clobber this pipeline's fitted transform state
+    from etna_spark.functions.math_ops import add_const, add_const_inverse
+
+    class AddConst:
+        def __init__(self):
+            self.fit_calls = 0
+
+        def fit(self, d):
+            self.fit_calls += 1
+            return self
+
+        def transform(self, d):
+            return add_const(d, "value", 1000.0)
+
+        def inverse_transform(self, d):
+            return add_const_inverse(d, "value", 1000.0)
+
+    rng = np.random.default_rng(5)
+    rows = [
+        ("a", START + dt.timedelta(days=i),
+         float(round(50 + 10 * np.sin(2 * np.pi * i / 7) + rng.normal(0, 2))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    t = AddConst()
+    p = Pipeline(
+        model=naive_model(7), transforms=[t], horizon=7, step_seconds=86400,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    ).fit(df)
+    out = p.forecast(prediction_interval=True, n_folds=3).toPandas()
+    # original units: the seasonal pattern lives around 50, not 1050
+    assert out["value"].between(20, 90).all()
+    assert (out["value_0.025"] <= out["value"]).all()
+    assert (out["value"] <= out["value_0.975"]).all()
+    assert (out["value_0.975"] > out["value"]).all()  # noisy → sigma > 0
+    # THIS pipeline's transform was fitted exactly once (fold refits used
+    # copies)
+    assert t.fit_calls == 1
+
+
+def test_components_short_series_yield_nan_not_wraparound(spark):
+    # a series shorter than the largest lag must produce NaN components,
+    # never values wrapped from the prediction end of the array
+    rows = [
+        ("long", START + dt.timedelta(hours=i), float(i % 24)) for i in range(60)
+    ] + [
+        ("short", START + dt.timedelta(hours=i + 30), float(i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    p = Pipeline(
+        model=SeasonalMovingAverageModel(window=2, seasonality=24),
+        horizon=6, step_seconds=3600,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    ).fit(df)
+    out = p.forecast(return_components=True).toPandas()
+    short = out[out["series"] == "short"]
+    # 30 history rows < lag 48 → the lag-48 component must be all-NaN/NULL
+    assert short["value_component_lag_48"].isna().all()

@@ -206,3 +206,13 @@ def test_dedup_clusters_end_to_end(spark):
     assert set(out.index) == {1, 2, 3}
     assert (out["component"] == 1).all()
     assert (out["cluster_size"] == 3).all()
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from etna_spark.data.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
