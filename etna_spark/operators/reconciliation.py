@@ -59,6 +59,38 @@ class BottomUpReconciliator:
         )
 
 
+class HierarchicalPipeline:
+    """Forecast at the reconciliator's source level, reconcile to the
+    target level (/root/reference/etna/pipeline/hierarchical_pipeline.py:
+    30-220). ``fit`` takes the CHILD-level history; for a top-down
+    reconciliator the base pipeline is fitted on the parent rollup, for
+    bottom-up on the child level directly. ``raw_forecast`` exposes the
+    un-reconciled source-level forecast like the reference."""
+
+    def __init__(self, pipeline, reconciliator):
+        self.pipeline = pipeline
+        self.reconciliator = reconciliator
+
+    def fit(self, child_df: DataFrame) -> "HierarchicalPipeline":
+        rec = self.reconciliator
+        rec.fit(child_df)
+        if isinstance(rec, TopDownReconciliator):
+            source = hierarchy_rollup(
+                child_df, rec.mapping, rec.child_col, rec.parent_col,
+                [rec.value_col], ts_col=rec.ts_col,
+            )
+        else:
+            source = child_df
+        self.pipeline.fit(source)
+        return self
+
+    def raw_forecast(self, **kwargs) -> DataFrame:
+        return self.pipeline.forecast(**kwargs)
+
+    def forecast(self, **kwargs) -> DataFrame:
+        return self.reconciliator.reconcile(self.raw_forecast(**kwargs))
+
+
 class TopDownReconciliator:
     """Parent-level forecasts distributed to children by historical
     proportions. Supports only non-negative data, like the reference."""

@@ -127,3 +127,55 @@ def test_topdown_rejects_negative_and_bad_args(spark, mapping, child_df):
         TopDownReconciliator(mapping, "child", "parent", period=0)
     with pytest.raises(ValueError, match="not fitted"):
         rec.reconcile(child_df)
+
+
+def test_hierarchical_pipeline_topdown(spark, mapping, child_df):
+    from etna_spark.operators.reconciliation import HierarchicalPipeline
+    from etna_spark.plans.pipeline import Pipeline, naive_model
+
+    rec = TopDownReconciliator(
+        mapping, "child", "parent", period=5, method="PHA",
+        value_col="value", ts_col="ts",
+    )
+    pipe = Pipeline(
+        model=naive_model(1), horizon=3, step_seconds=86400,
+        in_col="value", series_cols=("parent",), ts_col="ts",
+    )
+    hp = HierarchicalPipeline(pipe, rec).fit(child_df)
+    raw = hp.raw_forecast().toPandas().set_index(["parent", "ts"])["value"]
+    out = hp.forecast().toPandas()
+    assert len(raw) == 6 and len(out) == 9  # 2 parents×3 / 3 children×3
+    # PHA proportions sum to 1 per parent on a fully-covered history, so
+    # the reconciled children sum back to the parent forecast
+    summed = out.groupby(["parent", "ts"])["value"].sum()
+    np.testing.assert_allclose(
+        summed.sort_index().to_numpy(), raw.sort_index().to_numpy(),
+        rtol=1e-9,
+    )
+    # constant shares inside p1: c1 gets a quarter
+    c1 = out[out["child"] == "c1"].set_index("ts")["value"]
+    p1 = raw.loc["p1"]
+    np.testing.assert_allclose(c1.sort_index(), 0.25 * p1.sort_index(), rtol=1e-9)
+
+
+def test_hierarchical_pipeline_bottomup(spark, mapping, child_df):
+    from etna_spark.operators.reconciliation import HierarchicalPipeline
+    from etna_spark.plans.pipeline import Pipeline, naive_model
+
+    rec = BottomUpReconciliator(
+        mapping, "child", "parent", value_col="value", ts_col="ts"
+    )
+    pipe = Pipeline(
+        model=naive_model(1), horizon=3, step_seconds=86400,
+        in_col="value", series_cols=("child",), ts_col="ts",
+    )
+    hp = HierarchicalPipeline(pipe, rec).fit(child_df)
+    raw = hp.raw_forecast().toPandas()
+    out = hp.forecast().toPandas().set_index(["parent", "ts"])["value"]
+    expect = (
+        raw.merge(mapping.toPandas(), on="child")
+        .groupby(["parent", "ts"])["value"].sum()
+    )
+    np.testing.assert_allclose(
+        out.sort_index().to_numpy(), expect.sort_index().to_numpy(), rtol=1e-12
+    )
