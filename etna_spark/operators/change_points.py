@@ -261,3 +261,27 @@ class TrendTransform(ChangePointsTrend):
 
     def inverse_transform(self, df: DataFrame) -> DataFrame:
         return df
+
+
+def find_change_points(
+    df: DataFrame,
+    in_col: str = "value",
+    n_bkps: int = 5,
+    min_size: int = 2,
+    model: str = "linear",
+    series_cols=("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-series change-point timestamps (reference analysis/
+    decomposition/search.py:11-40, ruptures→binseg): one row per detected
+    break — the interval starts of the fitted segmentation, excluding the
+    −inf opener."""
+    cls = ChangePointsTrend if model == "linear" else ChangePointsLevel
+    t = cls(
+        in_col=in_col, n_bkps=n_bkps, min_size=min_size,
+        series_cols=series_cols, ts_col=ts_col,
+    ).fit(df)
+    return t._state.filter(F.col("start_ts").isNotNull()).select(
+        *series_cols,
+        F.col("start_ts").cast("timestamp").alias("change_point_ts"),
+    )

@@ -162,3 +162,30 @@ def drop_prediction_intervals(
     df: DataFrame, target_col: str = "target"
 ) -> DataFrame:
     return df.drop(*prediction_intervals_names(df, target_col))
+
+
+def get_residuals(
+    forecast_df: DataFrame,
+    actual_df: DataFrame,
+    target_col: str = "target",
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Residuals = actual − forecast over the forecast span (reference
+    analysis/forecast/utils.py:17-57): target components are dropped, every
+    other forecast column is kept; raises if the two frames cover different
+    series sets, like the reference's segment check."""
+    fc = drop_target_components(forecast_df, target_col)
+    keys = [*series_cols, ts_col]
+    f_series = fc.select(*series_cols).distinct()
+    a_series = actual_df.select(*series_cols).distinct()
+    if f_series.exceptAll(a_series).limit(1).count() > 0 or \
+            a_series.exceptAll(f_series).limit(1).count() > 0:
+        raise KeyError(
+            "Segments of `actual_df` and `forecast_df` should be the same"
+        )
+    act = actual_df.select(*keys, F.col(target_col).alias("_actual"))
+    out = fc.join(act, on=keys)
+    return out.withColumn(
+        target_col, F.col("_actual") - F.col(target_col)
+    ).drop("_actual")

@@ -138,3 +138,22 @@ def test_trend_transform_adds_feature_column(spark):
     np.testing.assert_allclose(out["trend"], out["value"], atol=2.0)
     # irreversible: inverse is a no-op
     assert t.inverse_transform(df) is df
+
+
+def test_find_change_points_returns_break_timestamps(spark):
+    import datetime as dt
+
+    from etna_spark.operators.change_points import find_change_points
+
+    start = dt.datetime(2021, 1, 1)
+    rows = []
+    for i in range(60):
+        level = 0.0 if i < 30 else 100.0  # one obvious level break at i=30
+        rows.append(("a", start + dt.timedelta(hours=i), level))
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    out = find_change_points(
+        df, in_col="value", n_bkps=1, min_size=5, model="l2",
+        series_cols=("series",), ts_col="ts",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["change_point_ts"] == start + dt.timedelta(hours=30)

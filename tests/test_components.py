@@ -373,3 +373,18 @@ def test_components_short_series_yield_nan_not_wraparound(spark):
     short = out[out["series"] == "short"]
     # 30 history rows < lag 48 → the lag-48 component must be all-NaN/NULL
     assert short["value_component_lag_48"].isna().all()
+
+
+def test_get_residuals(spark, base_df):
+    from etna_spark.operators.components import get_residuals
+
+    fc = base_df.select(
+        "series", "ts",
+        (F.col("target") - 2.0).alias("target"),
+        (F.col("target") * 0.5).alias("target_component_half"),
+    )
+    out = get_residuals(fc, base_df).toPandas()
+    assert (out["target"] == 2.0).all()  # actual − (actual − 2)
+    assert "target_component_half" not in out.columns
+    with pytest.raises(KeyError, match="should be the same"):
+        get_residuals(fc.filter(F.col("series") == "a"), base_df)
