@@ -91,3 +91,50 @@ def test_stream_output_feeds_batch_cascade(spark, tmp_path):
     mismatch = closed.select(*cols).exceptAll(batch_1h.select(*cols))
     assert mismatch.count() == 0
     assert closed.count() > 0
+
+
+def test_stateful_anomaly_detector_flags_and_persists_state(spark, tmp_path):
+    """applyInPandasWithState z-score detector: running per-series baseline
+    survives across micro-batches (maxFilesPerTrigger=1 forces two), only
+    genuine outliers are flagged, cold-start is guarded."""
+    import datetime as dt
+
+    from etna_spark.streaming.state_ops import stream_detect_anomalies
+
+    inp = str(tmp_path / "sin")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    start = dt.datetime(2024, 1, 1)
+    # batch 1: 20 calm points per series (baseline)
+    calm = [
+        ("a", start + dt.timedelta(minutes=i), 100 + (i % 3)) for i in range(20)
+    ] + [
+        ("b", start + dt.timedelta(minutes=i), 50 + (i % 2)) for i in range(20)
+    ]
+    df1 = spark.createDataFrame(
+        calm, "source string, event_ts timestamp, n_tok int"
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(inp)
+    # batch 2: one spike in 'a', calm rows elsewhere
+    more = [
+        ("a", start + dt.timedelta(minutes=20), 101),
+        ("a", start + dt.timedelta(minutes=21), 500),   # the outlier
+        ("b", start + dt.timedelta(minutes=20), 51),
+    ]
+    spark.createDataFrame(
+        more, "source string, event_ts timestamp, n_tok int"
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    schema = spark.read.parquet(inp).schema
+    s = stream_detect_anomalies(
+        spark, inp, schema, threshold=4.0, min_history=10,
+        max_files_per_trigger=1,
+    )
+    run_available_now(s, ckpt, out)
+    got = spark.read.parquet(out).collect()
+    # exactly the spike is flagged — the baseline from micro-batch 1 must
+    # still be in state when micro-batch 2 arrives
+    assert len(got) == 1
+    r = got[0]
+    assert r["source"] == "a" and r["value"] == 500.0 and r["z"] > 4.0
+    assert r["event_ts"] == start + dt.timedelta(minutes=21)
