@@ -164,7 +164,13 @@ def interval_metrics(
                 (F.sum(hit).cast("double") / F.count(hit)).alias("coverage")
             )
         else:
-            w = F.when(y.isNotNull(), F.abs(hi - lo))
+            # a NULL bound on a valid row poisons the mean with NaN, like
+            # the reference's NaN propagation — coverage above instead
+            # counts the same row as a miss (y >= NaN is False there)
+            w = F.when(
+                y.isNotNull(),
+                F.coalesce(F.abs(hi - lo), F.lit(float("nan"))),
+            )
             exprs.append(
                 (F.sum(w) / F.count(w)).alias("width")
             )

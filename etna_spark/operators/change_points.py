@@ -276,6 +276,8 @@ def find_change_points(
     decomposition/search.py:11-40, ruptures→binseg): one row per detected
     break — the interval starts of the fitted segmentation, excluding the
     −inf opener."""
+    if model not in ("linear", "l2"):
+        raise ValueError(f"bad find_change_points model '{model}'")
     cls = ChangePointsTrend if model == "linear" else ChangePointsLevel
     t = cls(
         in_col=in_col, n_bkps=n_bkps, min_size=min_size,

@@ -179,6 +179,11 @@ def agglomerate(
         sub = d[np.ix_(act, act)]
         k = np.argmin(sub)
         ai, aj = divmod(k, len(act))
+        if ai == aj or not np.isfinite(sub[ai, aj]):
+            # every remaining pair is +inf (disconnected groups): argmin
+            # lands on the diagonal, which must never self-merge — merge
+            # the two smallest-index roots deterministically instead
+            ai, aj = 0, 1
         i, j = act[ai], act[aj]
         if i > j:
             i, j = j, i

@@ -186,6 +186,13 @@ def get_residuals(
         )
     act = actual_df.select(*keys, F.col(target_col).alias("_actual"))
     out = fc.join(act, on=keys)
+    # the reference's .loc over the forecast index raises on timestamps
+    # missing from the actuals — an inner join would silently shrink the
+    # residual set instead
+    if out.count() != fc.count():
+        raise KeyError(
+            "`actual_df` is missing timestamps covered by `forecast_df`"
+        )
     return out.withColumn(
         target_col, F.col("_actual") - F.col(target_col)
     ).drop("_actual")

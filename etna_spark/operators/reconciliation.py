@@ -53,6 +53,15 @@ class BottomUpReconciliator:
         return self
 
     def reconcile(self, child_forecast: DataFrame) -> DataFrame:
+        from etna_spark.operators.components import match_target_quantiles
+
+        if match_target_quantiles(child_forecast.columns, self.value_col):
+            raise ValueError(
+                "Bottom-up reconciliation of prediction-interval columns is "
+                "not supported (quantiles are not summable) — reconcile the "
+                "point forecast, then estimate intervals at the target "
+                "level."
+            )
         return hierarchy_rollup(
             child_forecast, self.mapping, self.child_col, self.parent_col,
             [self.value_col], ts_col=self.ts_col,
@@ -169,14 +178,21 @@ class TopDownReconciliator:
         return self
 
     def reconcile(self, parent_forecast: DataFrame) -> DataFrame:
-        """Parent forecast rows × per-child proportion → child forecast."""
+        """Parent forecast rows × per-child proportion → child forecast.
+        Prediction-interval quantile columns are scaled by the same share —
+        proportional sharing is an affine map, so the child's borders are
+        the parent's borders times its proportion."""
+        from etna_spark.operators.components import match_target_quantiles
+
         if self._proportions is None:
             raise ValueError("Reconciliator is not fitted!")
         v = self.value_col
-        return (
-            parent_forecast.join(
-                F.broadcast(self._proportions), on=self.parent_col
-            )
-            .withColumn(v, F.col(v) * F.col("_w"))
-            .drop("_w")
+        out = parent_forecast.join(
+            F.broadcast(self._proportions), on=self.parent_col
         )
+        scaled = [v, *sorted(
+            match_target_quantiles(parent_forecast.columns, v)
+        )]
+        for c in scaled:
+            out = out.withColumn(c, F.col(f"`{c}`") * F.col("_w"))
+        return out.drop("_w")

@@ -161,6 +161,8 @@ class StackingEnsemble:
         self.coef_: list[float] | None = None
 
     def fit(self, df: DataFrame) -> "StackingEnsemble":
+        from etna_spark.plans.state import materialize
+
         for p in self.pipelines:
             p.fit(df)
         base = self.pipelines[0]
@@ -174,7 +176,11 @@ class StackingEnsemble:
                 F.col("prediction").alias(f"_p{i}"),
             )
             joined = sel if joined is None else joined.join(sel, on=keys)
-        joined = joined.dropna()
+        # pin the design frame: it is small (#series × n_folds·horizon) but
+        # its lineage is every fold's fit+forecast — callers that want
+        # in-sample diagnostics reuse it instead of re-running the folds
+        joined = materialize(joined.dropna())
+        self._design = joined
         k = len(self.pipelines)
         feats = [F.lit(1.0)] + [F.col(f"_p{i}") for i in range(k)]
         y = F.col(base.in_col)
@@ -184,6 +190,12 @@ class StackingEnsemble:
                 exprs.append(F.sum(feats[i] * feats[j]).alias(f"_a_{i}_{j}"))
             exprs.append(F.sum(feats[i] * y).alias(f"_b_{i}"))
         row = joined.agg(*exprs).collect()[0]
+        if row["_a_0_0"] is None:
+            raise ValueError(
+                "There aren't enough overlapping historical forecasts to "
+                "fit the stacking meta-model — every design row was "
+                "dropped. Increase history length or n_folds."
+            )
         a = np.empty((k + 1, k + 1))
         b = np.empty(k + 1)
         for i in range(k + 1):

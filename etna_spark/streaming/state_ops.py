@@ -63,8 +63,12 @@ def stream_detect_anomalies(
     def detect(key, pdfs, state: GroupState):
         n, s, ss = state.get if state.exists else (0, 0.0, 0.0)
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
+        # a group's micro-batch may arrive as SEVERAL Arrow chunks whose
+        # time ranges interleave — concatenate before the single sort so
+        # points are absorbed in true timestamp order
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(ts_col, kind="mergesort")
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 if v is None or v != v:
                     continue

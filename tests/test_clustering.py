@@ -158,3 +158,17 @@ def test_isolated_series_still_gets_label(spark, series_df):
     assert "lonely" in out.index
     # the isolated series is never merged into a real cluster (inf distance)
     assert (out.drop("lonely") != out["lonely"]).all()
+
+
+def test_agglomerate_all_inf_merges_roots_not_diagonal(spark):
+    import pandas as pd
+
+    # two disconnected groups, n_clusters=1: every cross distance is +inf —
+    # the merge must combine two DISTINCT roots, never self-merge (which
+    # silently dropped members)
+    pairs = pd.DataFrame(
+        {"s1": ["a", "c"], "s2": ["b", "d"], "dist": [1.0, 1.0]}
+    )
+    labels = agglomerate(pairs, n_clusters=1, nodes=["a", "b", "c", "d"])
+    assert set(labels) == {"a", "b", "c", "d"}
+    assert len(set(labels.values())) == 1

@@ -388,3 +388,30 @@ def test_get_residuals(spark, base_df):
     assert "target_component_half" not in out.columns
     with pytest.raises(KeyError, match="should be the same"):
         get_residuals(fc.filter(F.col("series") == "a"), base_df)
+
+
+def test_get_residuals_rejects_missing_timestamps(spark, base_df):
+    from etna_spark.operators.components import get_residuals
+
+    fc = base_df.select("series", "ts", "target")  # full span forecast
+    # both series keep days 1-2, so the series-set check passes and only
+    # the timestamp-coverage check can fire
+    short_actual = base_df.filter(F.dayofmonth("ts") <= 2)
+    with pytest.raises(KeyError, match="missing timestamps"):
+        get_residuals(fc, short_actual)
+
+
+def test_interval_width_nan_poisons_on_null_bound(spark):
+    from etna_spark.functions.metrics import interval_metrics
+
+    rows = [
+        ("a", START, 1.0, 0.0, 2.0),
+        ("a", START + dt.timedelta(hours=1), 1.0, 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, ts timestamp, value double, lower double, "
+        "upper double",
+    )
+    out = interval_metrics(df).collect()[0]
+    assert out["width"] != out["width"]  # NaN, like reference propagation
+    np.testing.assert_allclose(out["coverage"], 0.5)

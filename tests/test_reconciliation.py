@@ -179,3 +179,37 @@ def test_hierarchical_pipeline_bottomup(spark, mapping, child_df):
     np.testing.assert_allclose(
         out.sort_index().to_numpy(), expect.sort_index().to_numpy(), rtol=1e-12
     )
+
+
+def test_topdown_reconciles_interval_columns(spark, mapping, child_df):
+    from etna_spark.operators.reconciliation import HierarchicalPipeline
+    from etna_spark.plans.pipeline import Pipeline, naive_model
+    from pyspark.sql import functions as F2
+
+    # make the parent series noisy so sigma > 0
+    noisy = child_df.withColumn(
+        "value", F.col("value") + (F.dayofmonth("ts") % 3).cast("double")
+    )
+    rec = TopDownReconciliator(
+        mapping, "child", "parent", period=5, method="PHA",
+        value_col="value", ts_col="ts",
+    )
+    pipe = Pipeline(
+        model=naive_model(1), horizon=3, step_seconds=86400,
+        in_col="value", series_cols=("parent",), ts_col="ts",
+    )
+    hp = HierarchicalPipeline(pipe, rec).fit(noisy)
+    out = hp.forecast(prediction_interval=True, n_folds=3).toPandas()
+    assert {"value_0.025", "value_0.975"} <= set(out.columns)
+    # child-scale bounds bracket the child-scale forecast
+    assert (out["value_0.025"] <= out["value"] + 1e-9).all()
+    assert (out["value"] <= out["value_0.975"] + 1e-9).all()
+
+
+def test_bottomup_rejects_interval_columns(spark, mapping, child_df):
+    rec = BottomUpReconciliator(
+        mapping, "child", "parent", value_col="value", ts_col="ts"
+    ).fit(child_df)
+    with_iv = child_df.withColumn("value_0.975", F.col("value") + 1)
+    with pytest.raises(ValueError, match="not summable"):
+        rec.reconcile(with_iv)
