@@ -758,14 +758,9 @@ def q_ensemble_stacking(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipes = [pipe(naive_model(24)),
              pipe(SeasonalMovingAverageModel(window=2, seasonality=24))]
     ens = StackingEnsemble(pipes, n_folds=3).fit(dense)
-    keys = ["event_type", "bucket_ts"]
-    joined = None
-    for i, p in enumerate(pipes):
-        h = p.get_historical_forecasts(dense, n_folds=3).select(
-            *keys, *(["v"] if i == 0 else []),
-            F.col("prediction").alias(f"_p{i}"),
-        )
-        joined = h if joined is None else joined.join(h, on=keys)
+    # the fit-time design frame is materialized — reuse it instead of
+    # re-running every fold's fit+forecast
+    joined = ens._design
     stacked = (
         F.lit(ens.intercept_)
         + F.lit(ens.coef_[0]) * F.col("_p0")
@@ -773,7 +768,7 @@ def q_ensemble_stacking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = [F.col("v") - F.col("_p0"), F.col("v") - F.col("_p1"),
          F.col("v") - stacked]
-    agg = joined.dropna().agg(
+    agg = joined.agg(
         F.count(F.lit(1)).alias("n_points"),
         F.avg(e[0] * e[0]).alias("mse_naive"),
         F.avg(e[1] * e[1]).alias("mse_sma"),
