@@ -784,3 +784,78 @@ def q_ensemble_stacking(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("mse_stacked") <= F.col("mse_sma") + 1e-6)
         ).cast("int").alias("all_match"),
     )
+
+
+@register("hierarchy_pipeline_topdown", None)
+def q_hierarchy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HierarchicalPipeline end-to-end (reference pipeline/
+    hierarchical_pipeline.py:30-220): naive forecast at the region level,
+    PHA-distributed to nations. Rows-only, SELF-VERIFYING: PHA proportions
+    over a fully-covered history sum to exactly 1 per parent, so the
+    reconciled children must sum back to the parent forecast — all_match=1
+    per (region, step)."""
+    from etna_spark.operators.reconciliation import (
+        HierarchicalPipeline, TopDownReconciliator,
+    )
+    from etna_spark.plans.pipeline import Pipeline, naive_model
+    from etna_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    to_nation = customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    nl = (
+        orders.withColumn(
+            "vc", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        )
+        .join(F.broadcast(to_nation), orders["o_custkey"] == F.col("custkey"))
+        .groupBy(
+            "nationkey",
+            F.date_trunc("month", "o_orderdate").alias("month_ts"),
+        )
+        .agg(F.sum("vc").cast("double").alias("value"))
+    )
+    to_region = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select(
+        F.col("n_nationkey").alias("nationkey"), F.col("r_name").alias("region")
+    )
+    # zero-fill the (nation, month) grid: a month with no orders is a
+    # genuine 0, and PHA proportions only sum to 1 per parent when every
+    # child covers every timestamp of the estimation window
+    months = nl.select("month_ts").distinct()
+    nations = nl.select("nationkey").distinct()
+    nl = (
+        nations.crossJoin(months)
+        .join(nl, on=["nationkey", "month_ts"], how="left")
+        .fillna(0.0, subset=["value"])
+    )
+    rec = TopDownReconciliator(
+        to_region, "nationkey", "region", period=6, method="PHA",
+        value_col="value", ts_col="month_ts",
+    )
+    # the naive(1) forecast only needs a positional step, so a nominal
+    # 30-day stride extends the monthly grid fine
+    pipe = Pipeline(
+        model=naive_model(1), horizon=2, step_seconds=30 * 86400,
+        in_col="value", series_cols=("region",), ts_col="month_ts",
+    )
+    hp = HierarchicalPipeline(pipe, rec).fit(nl)
+    raw = hp.raw_forecast().select(
+        "region", "month_ts", F.col("value").alias("_parent_fc")
+    )
+    summed = hp.forecast().groupBy("region", "month_ts").agg(
+        F.sum("value").alias("_child_sum"),
+        F.count("*").alias("n_children"),
+    )
+    return summed.join(raw, on=["region", "month_ts"]).select(
+        "region",
+        F.col("month_ts").cast("long").alias("step_ts"),
+        "n_children",
+        (F.abs(F.col("_child_sum") - F.col("_parent_fc")) < 1e-6)
+        .cast("int").alias("all_match"),
+    )
