@@ -159,3 +159,34 @@ def apply_fold(
         & (F.col(ts_col) <= F.lit(fold["test_end"]))
     )
     return train, test
+
+
+def estimate_max_n_folds(
+    df: DataFrame,
+    horizon: int,
+    context_size: int,
+    stride: int | None = None,
+    ts_col: str = "ts",
+    step_seconds: int = 86400,
+) -> int:
+    """Maximum rolling-origin fold count the data supports (reference
+    commands/utils.py:76-140):
+
+        max_n_folds = floor((num_points − horizon + stride − context) / stride)
+
+    ``num_points`` is the shared-grid length (distinct timestamps — the
+    reference counts wide-frame index rows). Raises when even one fold
+    doesn't fit, like the reference."""
+    if context_size < 1:
+        raise ValueError(
+            "Pipeline `context_size` parameter must be positive integer!"
+        )
+    stride = stride if stride is not None else horizon
+    n = df.select(ts_col).distinct().count()
+    max_folds = (n - horizon + stride - context_size) // stride
+    if max_folds < 1:
+        raise ValueError(
+            f"Not enough data points: {n} timestamps cannot fit a single "
+            f"fold with horizon={horizon}, context_size={context_size}"
+        )
+    return int(max_folds)

@@ -66,6 +66,8 @@ def main() -> None:
     ap.add_argument("--prediction-interval", action="store_true")
     ap.add_argument("--quantiles", default="0.025,0.975")
     ap.add_argument("--n-folds", type=int, default=3)
+    ap.add_argument("--estimate-n-folds", action="store_true",
+                    help="cap --n-folds at what the history supports")
     ap.add_argument("--metrics", default="mae,mse,smape")
     args = ap.parse_args()
 
@@ -74,8 +76,20 @@ def main() -> None:
 
     ensure_shipped(spark)  # model kernels import etna_spark on executors
     df = spark.read.parquet(args.input)
+    model = build_model(args)
+    if args.estimate_n_folds:
+        from etna_spark.operators.splits import estimate_max_n_folds
+
+        ctx = getattr(model, "context_size", args.horizon)
+        args.n_folds = min(
+            args.n_folds,
+            estimate_max_n_folds(
+                df, args.horizon, max(int(ctx), 1), ts_col=args.ts_col,
+                step_seconds=args.step_seconds,
+            ),
+        )
     pipeline = Pipeline(
-        model=build_model(args),
+        model=model,
         horizon=args.horizon,
         step_seconds=args.step_seconds,
         in_col=args.value_col,

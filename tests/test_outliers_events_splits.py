@@ -195,3 +195,21 @@ def test_per_series_spine_spans_own_range_only(spark):
     reg = regularize(df, "1d", per_series=True)
     assert reg.count() == 110
     assert reg.filter("source = 'short' and v is null").count() == 8
+
+
+def test_estimate_max_n_folds(spark):
+    import datetime as dt
+
+    from etna_spark.operators.splits import estimate_max_n_folds
+
+    start = dt.datetime(2021, 1, 1)
+    rows = [("a", start + dt.timedelta(days=i), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    # (30 − 7 + 7 − 7) // 7 = 3
+    assert estimate_max_n_folds(df, horizon=7, context_size=7) == 3
+    # stride 1: (30 − 7 + 1 − 7) // 1 = 17
+    assert estimate_max_n_folds(df, horizon=7, context_size=7, stride=1) == 17
+    with pytest.raises(ValueError, match="positive integer"):
+        estimate_max_n_folds(df, horizon=7, context_size=0)
+    with pytest.raises(ValueError, match="Not enough data"):
+        estimate_max_n_folds(df, horizon=28, context_size=7)
