@@ -185,14 +185,17 @@ def get_residuals(
             "Segments of `actual_df` and `forecast_df` should be the same"
         )
     act = actual_df.select(*keys, F.col(target_col).alias("_actual"))
-    out = fc.join(act, on=keys)
+    # duplicate keys would fan the join out and mask coverage holes
+    if act.groupBy(*keys).count().filter("count > 1").limit(1).count() > 0:
+        raise ValueError("`actual_df` has duplicate (series, ts) rows")
     # the reference's .loc over the forecast index raises on timestamps
     # missing from the actuals — an inner join would silently shrink the
-    # residual set instead
-    if out.count() != fc.count():
+    # residual set instead; anti-join detects exactly the missing keys
+    if fc.join(act, on=keys, how="left_anti").limit(1).count() > 0:
         raise KeyError(
             "`actual_df` is missing timestamps covered by `forecast_df`"
         )
+    out = fc.join(act, on=keys)
     return out.withColumn(
         target_col, F.col("_actual") - F.col(target_col)
     ).drop("_actual")

@@ -52,6 +52,10 @@ class BottomUpReconciliator:
         parity with the reference's fit/reconcile lifecycle."""
         return self
 
+    def source_history(self, child_df: DataFrame) -> DataFrame:
+        """Bottom-up forecasts at the CHILD level."""
+        return child_df
+
     def reconcile(self, child_forecast: DataFrame) -> DataFrame:
         from etna_spark.operators.components import match_target_quantiles
 
@@ -83,14 +87,9 @@ class HierarchicalPipeline:
     def fit(self, child_df: DataFrame) -> "HierarchicalPipeline":
         rec = self.reconciliator
         rec.fit(child_df)
-        if isinstance(rec, TopDownReconciliator):
-            source = hierarchy_rollup(
-                child_df, rec.mapping, rec.child_col, rec.parent_col,
-                [rec.value_col], ts_col=rec.ts_col,
-            )
-        else:
-            source = child_df
-        self.pipeline.fit(source)
+        # the reconciliator owns its source level (the reference's
+        # aggregate() hook) — no type special-casing here
+        self.pipeline.fit(rec.source_history(child_df))
         return self
 
     def raw_forecast(self, **kwargs) -> DataFrame:
@@ -176,6 +175,14 @@ class TopDownReconciliator:
             )
         self._proportions = materialize(prop)
         return self
+
+    def source_history(self, child_df: DataFrame) -> DataFrame:
+        """Top-down forecasts at the PARENT level: the child history rolled
+        up (the reference's get_level_dataset)."""
+        return hierarchy_rollup(
+            child_df, self.mapping, self.child_col, self.parent_col,
+            [self.value_col], ts_col=self.ts_col,
+        )
 
     def reconcile(self, parent_forecast: DataFrame) -> DataFrame:
         """Parent forecast rows × per-child proportion → child forecast.

@@ -182,7 +182,16 @@ def estimate_max_n_folds(
             "Pipeline `context_size` parameter must be positive integer!"
         )
     stride = stride if stride is not None else horizon
-    n = df.select(ts_col).distinct().count()
+    # grid length from the TIME span, not the row count: generate_folds
+    # slices train/test windows by time arithmetic, so a gappy history must
+    # not inflate the estimate
+    bounds = df.agg(
+        F.min(ts_col).alias("mn"), F.max(ts_col).alias("mx")
+    ).collect()[0]
+    if bounds["mn"] is None:
+        raise ValueError("Not enough data points: empty input")
+    span = bounds["mx"] - bounds["mn"]
+    n = int(span.total_seconds()) // step_seconds + 1
     max_folds = (n - horizon + stride - context_size) // stride
     if max_folds < 1:
         raise ValueError(

@@ -82,6 +82,14 @@ class DeadlineMovingAverageModel:
                 "Freq is not supported! Use daily or hourly frequency!"
             )
 
+    def context_points(self, step_seconds: int) -> int:
+        """Upper bound on the grid points the calendar context spans
+        (reference deadline_ma.py context_size: 31/366 days × window,
+        ×24 on hourly grids)."""
+        days = 31 if self.seasonality == "month" else 366
+        per_day = 86400 // step_seconds
+        return days * per_day * self.window
+
     def kernel_ts(
         self,
         hist_ts: pd.DatetimeIndex,

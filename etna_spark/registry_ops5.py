@@ -844,11 +844,16 @@ def q_hierarchy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         model=naive_model(1), horizon=2, step_seconds=30 * 86400,
         in_col="value", series_cols=("region",), ts_col="month_ts",
     )
+    from etna_spark.plans.state import materialize
+
     hp = HierarchicalPipeline(pipe, rec).fit(nl)
-    raw = hp.raw_forecast().select(
+    # pin the source forecast once: forecast() would otherwise re-run the
+    # whole make_future + kernel lineage a second time
+    raw_fc = materialize(hp.raw_forecast())
+    raw = raw_fc.select(
         "region", "month_ts", F.col("value").alias("_parent_fc")
     )
-    summed = hp.forecast().groupBy("region", "month_ts").agg(
+    summed = rec.reconcile(raw_fc).groupBy("region", "month_ts").agg(
         F.sum("value").alias("_child_sum"),
         F.count("*").alias("n_children"),
     )

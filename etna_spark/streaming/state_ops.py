@@ -15,13 +15,13 @@ three scalars per series: O(#series) store, no row retention.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import math
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    DoubleType, LongType, StructField, StructType,
 )
 
 
@@ -48,9 +48,11 @@ def stream_detect_anomalies(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(input_path).select(series_col, ts_col, value_col)
 
+    # series/ts types follow the INPUT schema — the API is generic over
+    # key and timestamp types, so the output must be too
     out_schema = StructType([
-        StructField(series_col, StringType()),
-        StructField(ts_col, TimestampType()),
+        StructField(series_col, schema[series_col].dataType),
+        StructField(ts_col, schema[ts_col].dataType),
         StructField("value", DoubleType()),
         StructField("z", DoubleType()),
     ])
@@ -77,8 +79,15 @@ def stream_detect_anomalies(
                     mean = s / n
                     var = max(ss / n - mean * mean, 0.0)
                     sd = var ** 0.5
-                    if sd > 0 and abs(v - mean) > threshold * sd:
-                        rows.append((key[0], ts, v, (v - mean) / sd))
+                    dev = v - mean
+                    if sd > 0 and abs(dev) > threshold * sd:
+                        rows.append((key[0], ts, v, dev / sd))
+                    elif sd == 0 and dev != 0:
+                        # constant baseline: ANY deviation is an outlier
+                        # (the batch MAD twin flags it too); z = signed inf
+                        rows.append(
+                            (key[0], ts, v, math.copysign(math.inf, dev))
+                        )
                 n, s, ss = n + 1, s + v, ss + v * v
         state.update((n, s, ss))
         if rows:

@@ -80,7 +80,10 @@ def main() -> None:
     if args.estimate_n_folds:
         from etna_spark.operators.splits import estimate_max_n_folds
 
-        ctx = getattr(model, "context_size", args.horizon)
+        if hasattr(model, "context_points"):  # calendar-offset models
+            ctx = model.context_points(args.step_seconds)
+        else:
+            ctx = getattr(model, "context_size", args.horizon)
         args.n_folds = min(
             args.n_folds,
             estimate_max_n_folds(

@@ -138,3 +138,30 @@ def test_stateful_anomaly_detector_flags_and_persists_state(spark, tmp_path):
     r = got[0]
     assert r["source"] == "a" and r["value"] == 500.0 and r["z"] > 4.0
     assert r["event_ts"] == start + dt.timedelta(minutes=21)
+
+
+def test_stateful_detector_flags_deviation_from_constant_baseline(spark, tmp_path):
+    """sd == 0 baseline: ANY deviation must flag (signed-inf z), matching
+    the batch MAD detector's zero-scale behavior."""
+    import datetime as dt
+
+    import numpy as np
+
+    from etna_spark.streaming.state_ops import stream_detect_anomalies
+
+    inp = str(tmp_path / "cin")
+    out = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    start = dt.datetime(2024, 1, 1)
+    rows = [("a", start + dt.timedelta(minutes=i), 7) for i in range(15)]
+    rows.append(("a", start + dt.timedelta(minutes=15), 3))
+    spark.createDataFrame(
+        rows, "source string, event_ts timestamp, n_tok int"
+    ).coalesce(1).write.mode("overwrite").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+    s = stream_detect_anomalies(spark, inp, schema, threshold=3.0,
+                                min_history=10)
+    run_available_now(s, ckpt, out)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert got[0]["value"] == 3.0 and np.isneginf(got[0]["z"])
