@@ -74,16 +74,29 @@ def cosine_topk_ivf(
     if centroids is None:
         centroids = train_centroids(corpus, vec_col, n_cells)
     # corpus: primary cell only; queries: n_probe cells
-    c_assigned = _assign_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cv")),
-        centroids, "_cv", 1,
-    ).withColumn("cell", F.col("cells")[0]).drop("cells")
-    q_assigned = _assign_cells(
-        queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv")),
-        centroids, "_qv", n_probe,
-    ).withColumn("cell", F.explode("cells")).drop("cells")
+    # BOTH assignments are pinned through parquet before the probe join.
+    # Two reasons: (a) the corpus cell assignment IS the IVF index — at
+    # scale you build it once and persist it, exactly this write; (b) the
+    # comparator-lambda (array_sort) plans mis-bind attributes when joined
+    # after unrelated queries in the same session (Catalyst INTERNAL_ERROR
+    # ATTRIBUTE_NOT_FOUND, observed session-order-dependent at sf0.1) — a
+    # re-read plan has fresh attribute ids and no HOF lineage to confuse.
+    from etna_spark.plans.state import materialize
+
+    c_assigned = materialize(
+        _assign_cells(
+            corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("_cv")),
+            centroids, "_cv", 1,
+        ).withColumn("cell", F.col("cells")[0]).drop("cells")
+    )
+    q_assigned = materialize(
+        _assign_cells(
+            queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("_qv")),
+            centroids, "_qv", n_probe,
+        ).withColumn("cell", F.explode("cells")).drop("cells")
+    )
     cand = c_assigned.join(F.broadcast(q_assigned), on="cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
