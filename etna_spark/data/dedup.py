@@ -219,14 +219,20 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     prefix_bits: int = 16,
-    n_tables: int = 1,
+    n_tables: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Candidates come from ``n_tables`` LSH tables, table t bucketing on the
     disjoint ``prefix_bits``-bit slice starting at bit 64−(t+1)·prefix —
     multi-table rotation recovers pairs whose differing bits happen to fall
-    in any single table's slice (recall → 1 as tables cover the word)."""
+    in any single table's slice (recall → 1 as tables cover the word).
+    Default ``n_tables = 64 // prefix_bits`` covers every bit of the hash:
+    any pair within hamming ≤ n_tables−1 is then guaranteed a shared
+    bucket (pigeonhole), and recall degrades gracefully above that. Pass a
+    smaller ``n_tables`` explicitly to trade recall for candidate volume."""
+    if n_tables is None:
+        n_tables = 64 // prefix_bits
     if n_tables * prefix_bits > 64:
         raise ValueError("n_tables * prefix_bits must be <= 64")
     s = simhash64(df, id_col, text_col)

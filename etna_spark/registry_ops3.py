@@ -312,14 +312,16 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                              k=3, num_perm=16, bands=4, threshold=0.2)
 
 
-@register("dedup_simhash", _simhash_sql(max_hamming=16, prefix_bits=8, n_tables=4))
+@register("dedup_simhash", _simhash_sql(max_hamming=16, prefix_bits=8, n_tables=8))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with 4-table bit-slice LSH; the arithmetic
-    word-hash family makes the full pipeline DuckDB-reproducible (hamming
-    is integer-exact)."""
+    """SimHash near-dup pairs with full-coverage bit-slice LSH (default
+    n_tables = 64 // prefix_bits = 8 — every hash bit belongs to exactly
+    one table's slice, so any pair within hamming ≤ 7 is guaranteed a
+    shared bucket); the arithmetic word-hash family makes the full
+    pipeline DuckDB-reproducible (hamming is integer-exact)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, id_col="doc_id", text_col="text",
-                         max_hamming=16, prefix_bits=8, n_tables=4)
+                         max_hamming=16, prefix_bits=8)
 
 
 _LSH_W = ("(((1103515245 * ({q} * 64 + i - 1) + 12345) % 2147483648) "

@@ -75,6 +75,53 @@ def test_simhash_pairs(spark):
     assert (1, 3) not in pairs or pairs[(1, 3)] > 0
 
 
+def test_simhash_recall_vs_exact_hamming(spark):
+    """Full-coverage default (n_tables = 64 // prefix_bits) vs the exact
+    all-pairs hamming join on the synthetic documents corpus.
+
+    Pigeonhole guarantee: with 8 disjoint 8-bit slices, any pair differing
+    in ≤ 7 bits must agree on at least one slice → recall 1.0 there; at the
+    looser max_hamming=16 budget the measured recall must stay ≥ 0.95."""
+    from etna_spark.data.dedup import simhash64
+    from etna_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    s = simhash64(docs, "doc_id", "text")
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    exact = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= 16)
+        .collect()
+    }
+    got8 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            docs, id_col="doc_id", text_col="text",
+            max_hamming=16, prefix_bits=8,  # n_tables defaults to 8
+        ).collect()
+    }
+    tight = {p for p, h in exact.items() if h <= 7}
+    assert tight and tight <= got8, "pigeonhole guarantee violated for hamming <= 7"
+    mid = {p for p, h in exact.items() if h <= 10}
+    recall8 = len(got8 & mid) / len(mid)
+    assert recall8 >= 0.95, f"pb=8 recall {recall8:.3f} < 0.95 over {len(mid)} pairs"
+    # narrower slices buy recall at wider budgets: 16 × 4-bit tables
+    # guarantee every pair within hamming ≤ 15 a shared bucket
+    got4 = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            docs, id_col="doc_id", text_col="text",
+            max_hamming=16, prefix_bits=4,  # n_tables defaults to 16
+        ).collect()
+    }
+    recall4 = len(got4 & set(exact)) / len(exact)
+    assert recall4 >= 0.95, f"pb=4 recall {recall4:.3f} < 0.95 over {len(exact)} pairs"
+
+
 def test_text_stats_and_langid(spark):
     out = add_text_stats(_docs(spark), "text")
     r1 = out.filter("doc_id = 1").collect()[0]
