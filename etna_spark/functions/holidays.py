@@ -39,6 +39,124 @@ def weekly_holiday_calendar(
     )
 
 
+def easter_date(year: int) -> dt.date:
+    """Gregorian Easter Sunday via the Anonymous Gregorian (Meeus/Jones/
+    Butcher) computus — pure integer arithmetic, so a SQL oracle can
+    reproduce it exactly (see ``EASTER_SQL``)."""
+    a = year % 19
+    b, c = divmod(year, 100)
+    d, e = divmod(b, 4)
+    f = (b + 8) // 25
+    g = (b - f + 1) // 3
+    h = (19 * a + b - d - g + 15) % 30
+    i, k = divmod(c, 4)
+    l = (32 + 2 * e + 2 * i - h - k) % 7
+    m = (a + 11 * h + 22 * l) // 451
+    month = (h + l - 7 * m + 114) // 31
+    day = (h + l - 7 * m + 114) % 31 + 1
+    return dt.date(year, month, day)
+
+
+def easter_sql_cte(year_start: int, year_end: int, name: str = "easters") -> str:
+    """DuckDB CTE fragment ``{name}(y, easter)`` — an independent SQL
+    re-derivation of ``easter_date`` for oracle queries (same public
+    computus, staged through nested selects so each intermediate matches
+    the scalar algorithm exactly; all operands positive, so SQL ``%``
+    agrees with Python's)."""
+    return f"""{name} AS (
+  SELECT y, make_date(CAST(y AS INTEGER),
+                      CAST((h + l - 7*m + 114) // 31 AS INTEGER),
+                      CAST((h + l - 7*m + 114) % 31 + 1 AS INTEGER)) AS easter
+  FROM (
+    SELECT y, h, l, (a + 11*h + 22*l) // 451 AS m
+    FROM (
+      SELECT y, a,
+             (19*a + b - d - g + 15) % 30 AS h,
+             (32 + 2*e + 2*i - ((19*a + b - d - g + 15) % 30) - k) % 7 AS l
+      FROM (
+        SELECT y, y % 19 AS a, y // 100 AS b,
+               y // 100 // 4 AS d, y // 100 % 4 AS e,
+               (y // 100 - (y // 100 + 8) // 25 + 1) // 3 AS g,
+               y % 100 // 4 AS i, y % 100 % 4 AS k
+        FROM (SELECT unnest(range({year_start}, {year_end + 1})) AS y)
+      )
+    )
+  )
+)"""
+
+
+def _nth_weekday(year: int, month: int, weekday: int, n: int) -> dt.date:
+    """n-th `weekday` (Mon=0) of `month`; n=-1 → last such weekday."""
+    if n > 0:
+        first = dt.date(year, month, 1)
+        off = (weekday - first.weekday()) % 7 + 7 * (n - 1)
+        return first + dt.timedelta(days=off)
+    nxt = dt.date(year + (month == 12), month % 12 + 1, 1)
+    last = nxt - dt.timedelta(days=1)
+    return last - dt.timedelta(days=(last.weekday() - weekday) % 7)
+
+
+# Rule tuples: ("fixed", month, day) | ("nth", month, weekday, n) |
+# ("easter", day_offset). Public statutory calendars (fixed-date + Easter
+# computus + nth-weekday rules); observed-day shifting is intentionally not
+# applied — the calendar records the holiday's calendar date.
+COUNTRY_RULES: dict[str, list[tuple]] = {
+    "US": [
+        ("New Year's Day", "fixed", 1, 1),
+        ("Martin Luther King Jr. Day", "nth", 1, 0, 3),
+        ("Washington's Birthday", "nth", 2, 0, 3),
+        ("Memorial Day", "nth", 5, 0, -1),
+        ("Independence Day", "fixed", 7, 4),
+        ("Labor Day", "nth", 9, 0, 1),
+        ("Columbus Day", "nth", 10, 0, 2),
+        ("Veterans Day", "fixed", 11, 11),
+        ("Thanksgiving", "nth", 11, 3, 4),
+        ("Christmas Day", "fixed", 12, 25),
+    ],
+    "DE": [
+        ("Neujahr", "fixed", 1, 1),
+        ("Karfreitag", "easter", -2),
+        ("Ostermontag", "easter", 1),
+        ("Tag der Arbeit", "fixed", 5, 1),
+        ("Christi Himmelfahrt", "easter", 39),
+        ("Pfingstmontag", "easter", 50),
+        ("Tag der Deutschen Einheit", "fixed", 10, 3),
+        ("1. Weihnachtstag", "fixed", 12, 25),
+        ("2. Weihnachtstag", "fixed", 12, 26),
+    ],
+}
+
+
+def country_holiday_calendar(
+    spark: SparkSession, country: str, year_start: int, year_end: int
+) -> DataFrame:
+    """Deterministic statutory-holiday dimension ``(date, holiday_name)``.
+
+    Reference ``HolidayTransform`` leans on the ``holidays`` package
+    (holiday.py:53-348, absent from this container); this generates the
+    same kind of calendar from public rules. Driver-side O(years × rules)
+    work building a tiny dim table that downstream transforms broadcast —
+    the scale-correct shape regardless of calendar source."""
+    rules = COUNTRY_RULES.get(country)
+    if rules is None:
+        raise ValueError(f"no rules for country {country!r}; "
+                         f"have {sorted(COUNTRY_RULES)}")
+    rows = []
+    for y in range(year_start, year_end + 1):
+        easter = easter_date(y)
+        for name, kind, *args in rules:
+            if kind == "fixed":
+                d = dt.date(y, args[0], args[1])
+            elif kind == "nth":
+                d = _nth_weekday(y, *args)
+            else:
+                d = easter + dt.timedelta(days=args[0])
+            rows.append((d, name))
+    return spark.createDataFrame(
+        sorted(rows), "date date, holiday_name string"
+    )
+
+
 def holiday_transform(
     df: DataFrame,
     calendar: DataFrame,

@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etna_spark.functions.holidays import holiday_transform, weekly_holiday_calendar
+from etna_spark.functions.holidays import (
+    country_holiday_calendar,
+    easter_sql_cte,
+    holiday_transform,
+    weekly_holiday_calendar,
+)
 from etna_spark.operators.alignment import apply_alignment
 from etna_spark.operators.decomposition import Deseasonality
 from etna_spark.operators.differencing import Differencing
@@ -230,6 +235,67 @@ def q_holiday(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = weekly_holiday_calendar(spark, "2024-01-01", "2024-12-31", weekday=6)
     out = holiday_transform(days, cal, ts_col="d", mode="binary")
     return out.select(F.col("d").cast("long").alias("day_ts"), "holiday")
+
+
+_HOLIDAY_DAYS_COUNT_SQL = "WITH " + easter_sql_cte(1992, 1998) + """
+, cal AS (
+  -- DE statutory calendar re-derived in SQL (COUNTRY_RULES['DE'])
+  SELECT CAST(easter - INTERVAL 2 DAY AS DATE) AS date FROM easters   -- Karfreitag
+  UNION ALL SELECT CAST(easter + INTERVAL 1 DAY AS DATE) FROM easters -- Ostermontag
+  UNION ALL SELECT CAST(easter + INTERVAL 39 DAY AS DATE) FROM easters
+  UNION ALL SELECT CAST(easter + INTERVAL 50 DAY AS DATE) FROM easters
+  UNION ALL SELECT make_date(CAST(y AS INTEGER), 1, 1) FROM easters
+  UNION ALL SELECT make_date(CAST(y AS INTEGER), 5, 1) FROM easters
+  UNION ALL SELECT make_date(CAST(y AS INTEGER), 10, 3) FROM easters
+  UNION ALL SELECT make_date(CAST(y AS INTEGER), 12, 25) FROM easters
+  UNION ALL SELECT make_date(CAST(y AS INTEGER), 12, 26) FROM easters
+), bounds AS (
+  SELECT min(date_trunc('month', o_orderdate)) AS mn,
+         max(date_trunc('month', o_orderdate)) AS mx
+  FROM orders
+), months AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS mon FROM bounds
+), shares AS (
+  SELECT mon,
+         avg(CASE WHEN c.date IS NOT NULL THEN 1.0 ELSE 0.0 END) AS share
+  FROM (SELECT mon, unnest(generate_series(mon, last_day(mon), INTERVAL 1 DAY)) AS day
+        FROM months) d
+  LEFT JOIN cal c ON CAST(d.day AS DATE) = c.date
+  GROUP BY mon
+)
+SELECT CAST(epoch(date_trunc('month', o.o_orderdate)) AS BIGINT) AS month_ts,
+       count(*) AS n_orders,
+       round(max(s.share), 6) AS holiday_share
+FROM orders o
+JOIN shares s ON date_trunc('month', o.o_orderdate) = s.mon
+GROUP BY 1
+"""
+
+
+@register("holiday_days_count", _HOLIDAY_DAYS_COUNT_SQL)
+def q_holiday_days_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HolidayTransform days_count mode (holiday.py:251-262: share of
+    holiday days inside each period bucket) against a generated DE
+    statutory calendar — fixed dates + Easter-computus offsets
+    (functions/holidays.py). The oracle re-derives the computus in SQL,
+    so the calendar itself is cross-verified, not just the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cal = country_holiday_calendar(spark, "DE", 1992, 1998)
+    out = holiday_transform(
+        orders.select(F.col("o_orderdate").alias("d")),
+        cal, ts_col="d", mode="days_count", out_col="share", period="month",
+    )
+    return (
+        out.groupBy(F.date_trunc("month", "d").alias("_mon"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.max("share"), 6).alias("holiday_share"),
+        )
+        .select(
+            F.col("_mon").cast("long").alias("month_ts"),
+            "n_orders", "holiday_share",
+        )
+    )
 
 
 @register(

@@ -7,7 +7,12 @@ import datetime as dt
 import numpy as np
 from pyspark.sql import functions as F
 
-from etna_spark.functions.holidays import holiday_transform, weekly_holiday_calendar
+from etna_spark.functions.holidays import (
+    country_holiday_calendar,
+    easter_date,
+    holiday_transform,
+    weekly_holiday_calendar,
+)
 from etna_spark.operators.decomposition import (
     Deseasonality,
     LinearTrend,
@@ -107,3 +112,32 @@ def test_holiday_transform_modes(spark):
     d = holiday_transform(df, cal, ts_col="ts", mode="days_count", period="week")
     shares = {r["ts"].date(): r["holiday"] for r in d.collect()}
     assert all(abs(v - 1 / 7) < 1e-9 for v in shares.values())
+
+
+def test_easter_computus_known_dates():
+    # public record: Gregorian Easter Sundays
+    known = {1992: (4, 19), 2000: (4, 23), 2008: (3, 23), 2011: (4, 24),
+             2016: (3, 27), 2024: (3, 31), 2038: (4, 25), 1818: (3, 22)}
+    for y, (m, day) in known.items():
+        assert easter_date(y) == dt.date(y, m, day)
+
+
+def test_country_holiday_calendar(spark):
+    de = {(r["date"], r["holiday_name"])
+          for r in country_holiday_calendar(spark, "DE", 2024, 2024).collect()}
+    assert (dt.date(2024, 3, 29), "Karfreitag") in de      # Easter−2
+    assert (dt.date(2024, 5, 9), "Christi Himmelfahrt") in de  # Easter+39
+    assert (dt.date(2024, 10, 3), "Tag der Deutschen Einheit") in de
+    us = {(r["date"], r["holiday_name"])
+          for r in country_holiday_calendar(spark, "US", 2024, 2024).collect()}
+    assert (dt.date(2024, 11, 28), "Thanksgiving") in us   # 4th Thursday
+    assert (dt.date(2024, 5, 27), "Memorial Day") in us    # last Monday
+    assert (dt.date(2024, 1, 15), "Martin Luther King Jr. Day") in us
+    binary = holiday_transform(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 7, 4),), (dt.datetime(2024, 7, 5),)],
+            "ts timestamp"),
+        country_holiday_calendar(spark, "US", 2024, 2024), ts_col="ts",
+        mode="binary")
+    got = {r["ts"].day: r["holiday"] for r in binary.collect()}
+    assert got == {4: 1, 5: 0}
