@@ -150,12 +150,16 @@ class StackingEnsemble:
     final forecast is a JVM-side affine projection over the joined base
     forecasts. No training data ever moves to the driver."""
 
-    def __init__(self, pipelines: Sequence, n_folds: int = 3):
+    def __init__(self, pipelines: Sequence, n_folds: int = 3,
+                 solver: str = "lstsq"):
         _validate_common(pipelines)
         if len({p.horizon for p in pipelines}) != 1:
             raise ValueError("All the pipelines should have the same horizon.")
+        if solver not in ("lstsq", "cramer"):
+            raise ValueError("solver must be 'lstsq' or 'cramer'")
         self.pipelines = list(pipelines)
         self.n_folds = n_folds
+        self.solver = solver
         self.horizon = pipelines[0].horizon
         self.intercept_: float | None = None
         self.coef_: list[float] | None = None
@@ -182,6 +186,8 @@ class StackingEnsemble:
         joined = materialize(joined.dropna())
         self._design = joined
         k = len(self.pipelines)
+        if self.solver == "cramer":
+            return self._fit_cramer(joined, base, k)
         feats = [F.lit(1.0)] + [F.col(f"_p{i}") for i in range(k)]
         y = F.col(base.in_col)
         exprs = []
@@ -207,6 +213,61 @@ class StackingEnsemble:
         sol = np.linalg.lstsq(a, b, rcond=None)[0]
         self.intercept_ = float(sol[0])
         self.coef_ = [float(c) for c in sol[1:]]
+        return self
+
+    def _fit_cramer(self, joined: DataFrame, base, k: int) -> "StackingEnsemble":
+        """Deterministic two-base solve from INTEGER-EXACT sufficient
+        statistics: features scaled ×2 must be integral (integer-cent /
+        token-count pipelines — naive and SMA(window=2) predictions are
+        integers and half-integers), so every Σqᵢqⱼ is one exact BIGINT
+        under any aggregation order, and the closed-form Cramer solve is a
+        fixed float op sequence a SQL oracle can replay bit-for-bit.
+        Raises on a singular design (use the lstsq solver for collinear
+        bases)."""
+        if k != 2:
+            raise NotImplementedError("cramer solver supports exactly 2 bases")
+        q = [F.lit(2).cast("long")] + [
+            F.round(F.col(f"_p{i}") * 2, 0).cast("long") for i in range(k)
+        ]
+        y2 = F.round(F.col(base.in_col) * 2, 0).cast("long")
+        exprs = []
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                exprs.append(F.sum(q[i] * q[j]).alias(f"_a_{i}_{j}"))
+            exprs.append(F.sum(q[i] * y2).alias(f"_b_{i}"))
+        row = joined.agg(*exprs).collect()[0]
+        if row["_a_0_0"] is None:
+            raise ValueError(
+                "There aren't enough overlapping historical forecasts to "
+                "fit the stacking meta-model — every design row was "
+                "dropped. Increase history length or n_folds."
+            )
+        # qᵢqⱼ carries the ×2 scale twice → /4 recovers XᵀX; qᵢ·2y → /4
+        # recovers Xᵀy. float(BIGINT) rounds-to-nearest identically in any
+        # engine, so downstream arithmetic matches the SQL twin exactly.
+        a = [[float(row[f"_a_{min(i, j)}_{max(i, j)}"]) / 4.0
+              for j in range(3)] for i in range(3)]
+        b = [float(row[f"_b_{i}"]) / 4.0 for i in range(3)]
+        m00 = a[1][1] * a[2][2] - a[1][2] * a[2][1]
+        m01 = a[1][0] * a[2][2] - a[1][2] * a[2][0]
+        m02 = a[1][0] * a[2][1] - a[1][1] * a[2][0]
+        det = a[0][0] * m00 - a[0][1] * m01 + a[0][2] * m02
+        if det == 0.0:
+            raise ValueError(
+                "Singular stacking design (collinear base forecasts) — "
+                "use solver='lstsq'."
+            )
+        d0 = (b[0] * m00
+              - a[0][1] * (b[1] * a[2][2] - a[1][2] * b[2])
+              + a[0][2] * (b[1] * a[2][1] - a[1][1] * b[2]))
+        d1 = (a[0][0] * (b[1] * a[2][2] - a[1][2] * b[2])
+              - b[0] * m01
+              + a[0][2] * (a[1][0] * b[2] - b[1] * a[2][0]))
+        d2 = (a[0][0] * (a[1][1] * b[2] - b[1] * a[2][1])
+              - a[0][1] * (a[1][0] * b[2] - b[1] * a[2][0])
+              + b[0] * m02)
+        self.intercept_ = d0 / det
+        self.coef_ = [d1 / det, d2 / det]
         return self
 
     def forecast(self) -> DataFrame:

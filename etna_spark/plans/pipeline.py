@@ -27,7 +27,7 @@ from collections.abc import Callable, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etna_spark.functions.metrics import compute_metrics
@@ -363,6 +363,83 @@ class Pipeline:
         # (the reference adds them to the already-inverse-transformed
         # predictions, base.py:453) — sigma comes from backtests over the
         # RAW training frame, so quantile columns bracket the final values
+        if prediction_interval:
+            result = self._add_forecast_borders(result, quantiles, n_folds)
+        return result
+
+    def predict(
+        self,
+        start_ts=None,
+        end_ts=None,
+        prediction_interval: bool = False,
+        quantiles: Sequence[float] = (0.025, 0.975),
+        n_folds: int = 3,
+    ) -> DataFrame:
+        """In-sample predictions over ``[start_ts, end_ts]`` of the TRAIN
+        span (reference BasePipeline.predict, pipeline/base.py:590-656 +
+        SeasonalMovingAverageModel._predict, models/seasonal_ma.py:187-203):
+        prediction[t] = mean of the ACTUAL values y[t−s], …, y[t−w·s] —
+        true-context, non-autoregressive, unlike forecast's recursion.
+
+        Pure window expressions (strided lags summed JVM-side — no pUDF);
+        reversible transforms are unwound in reverse order. Default
+        ``start_ts`` is the first timestamp with full context (the
+        reference instead raises on NaN context — same guarantee, shifted
+        into the default). ``prediction_interval=True`` reuses the
+        pipeline-level σ machinery from forecast (the reference raises for
+        context-required models; this engine's borders are pipeline-level,
+        base.py:447-497, so they apply to predict too)."""
+        if self._train is None:
+            raise ValueError("Pipeline is not fitted!")
+        model = self.model
+        if hasattr(model, "kernel_ts"):
+            raise NotImplementedError(
+                "predict supports positional-context models "
+                "(SeasonalMovingAverage family) only"
+            )
+        in_col, ts_col = self.in_col, self.ts_col
+        w, s = model.window, model.seasonality
+        train = self._train.select(*self.series_cols, ts_col, in_col)
+        bounds = train.agg(
+            F.min(ts_col).alias("mn"), F.max(ts_col).alias("mx")
+        ).collect()[0]
+        if end_ts is None:
+            end_ts = bounds["mx"]
+        elif end_ts > bounds["mx"]:
+            raise ValueError(
+                "Value of end_timestamp is more than ending of dataset!"
+            )
+        if start_ts is not None and start_ts > end_ts:
+            raise ValueError(
+                "Value of end_timestamp is less than start_timestamp!"
+            )
+        wspec = Window.partitionBy(*self.series_cols).orderBy(ts_col)
+        lag_sum = None
+        for j in range(1, w + 1):
+            term = F.lag(in_col, s * j).over(wspec)
+            lag_sum = term if lag_sum is None else lag_sum + term
+        # context row-number guard: rows before position context_size have
+        # incomplete context (NULL lag) — excluded by the default start,
+        # rejected (reference's NaN-context ValueError) for explicit starts
+        preds = train.withColumn("_rn", F.row_number().over(wspec)).withColumn(
+            in_col, lag_sum / F.lit(float(w))
+        )
+        if start_ts is None:
+            result = preds.filter(F.col("_rn") > w * s)
+        else:
+            result = preds.filter(F.col(ts_col) >= F.lit(start_ts))
+            short = result.filter(
+                F.col(in_col).isNull() & (F.col("_rn") <= w * s)
+            ).limit(1).count()
+            if short:
+                raise ValueError(
+                    "There are NaNs in a target column, predict method "
+                    "requires target to be filled!"
+                )
+        result = result.filter(F.col(ts_col) <= F.lit(end_ts)).drop("_rn")
+        for t in reversed(self.transforms):
+            if hasattr(t, "inverse_transform"):
+                result = t.inverse_transform(result)
         if prediction_interval:
             result = self._add_forecast_borders(result, quantiles, n_folds)
         return result

@@ -378,11 +378,67 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("imputer_seasonal_autoregressive", None)
+_IMPUTER_SEASONAL_SQL = """
+WITH RECURSIVE agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg
+), grid AS (
+  SELECT s.event_type, s.bucket_ts,
+         CAST(a.vc AS DOUBLE) AS v_orig,
+         CAST((epoch(s.bucket_ts) - epoch(b.mn)) // 3600 AS BIGINT) AS i
+  FROM (SELECT et.event_type, g.bucket_ts
+        FROM (SELECT DISTINCT event_type FROM events) et
+        CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                    AS bucket_ts FROM bounds) g) s
+  CROSS JOIN bounds b
+  LEFT JOIN agg a USING (event_type, bucket_ts)
+), fv AS (
+  SELECT event_type, min(bucket_ts) FILTER (v_orig IS NOT NULL) AS first_valid
+  FROM grid GROUP BY 1
+), g2 AS (
+  SELECT g.event_type, g.bucket_ts, g.v_orig,
+         g.i % 24 AS phase, g.i // 24 AS j,
+         (g.v_orig IS NULL AND g.bucket_ts >= f.first_valid) AS imp
+  FROM grid g JOIN fv f USING (event_type)
+), rec AS (
+  -- autoregressive seasonal fill: x[i] = nanmean(x[i-24], x[i-48]) at
+  -- masked points, already-imputed values feeding later ones — one
+  -- sequential chain per (series, hour-of-grid phase), cur/prev1 carrying
+  -- the last two chain values
+  SELECT event_type, bucket_ts, phase, j, v_orig AS cur,
+         CAST(NULL AS DOUBLE) AS prev1
+  FROM g2 WHERE j = 0
+  UNION ALL
+  SELECT g.event_type, g.bucket_ts, g.phase, g.j,
+    CASE WHEN g.v_orig IS NOT NULL THEN g.v_orig
+         WHEN g.imp THEN
+           CASE WHEN r.cur IS NOT NULL AND r.prev1 IS NOT NULL
+                  THEN (r.cur + r.prev1) / 2.0
+                WHEN r.cur IS NOT NULL THEN r.cur
+                ELSE r.prev1 END
+         ELSE NULL END AS cur,
+    r.cur AS prev1
+  FROM rec r
+  JOIN g2 g ON g.event_type = r.event_type AND g.phase = r.phase
+           AND g.j = r.j + 1
+)
+SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts,
+       round(cur, 6) AS v
+FROM rec
+"""
+
+
+@register("imputer_seasonal_autoregressive", _IMPUTER_SEASONAL_SQL)
 def q_imputer_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """running seasonal imputation (imputation.py:233-242) — autoregressive,
-    inherently sequential per series → rows-only driver check; semantics
-    pinned by golden tests (tests/test_imputation.py)."""
+    """Running seasonal imputation (imputation.py:233-242) — autoregressive
+    (already-imputed points feed later ones), window=2, seasonality=24.
+    Sequential per series in Spark (applyInPandas kernel), but each fill
+    depends only on the two previous same-phase points — the oracle walks
+    the same recursion as a DuckDB recursive CTE over per-(series, phase)
+    chains. Fills are dyadic means of integer cents → exact in double."""
     s = _events_1h(spark, sf_dir).select(
         "event_type", "bucket_ts",
         F.col("value_cents").cast("double").alias("v"),
@@ -393,7 +449,10 @@ def q_imputer_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         series_cols=("event_type",), ts_col="bucket_ts",
     ).fit(reg)
     out = imp.transform(reg)
-    return out.select("event_type", epoch(), F.round("v", 6).alias("v"))
+    # unfillable points come back from the Arrow kernel as NaN; the grid's
+    # untouched gaps are NULL — normalize both to NULL like the oracle
+    v = F.when(F.isnan("v"), F.lit(None)).otherwise(F.col("v"))
+    return out.select("event_type", epoch(), F.round(v, 6).alias("v"))
 
 
 # ---------------------------------------------------------------------------
@@ -457,15 +516,78 @@ def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region_level.select("region", "month_ts", "cents")
 
 
-@register("ann_cosine_ivf", None)
+_IVF_CENTROID_IDS = (0, 62, 125, 187, 250, 312, 375, 437)
+
+_COS = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> "
+    "CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+)
+
+_ANN_IVF_SQL = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM embeddings WHERE vec_id IN {_IVF_CENTROID_IDS}
+), sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_COS.format(a='e.embedding', b='c.cv')} AS sim
+  FROM embeddings e CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, embedding, cid,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY round(sim, 9) DESC, cid) AS rk
+  FROM sims
+), c_assign AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv2, cid AS cell
+  FROM ranked WHERE rk = 1
+), q_assign AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid AS cell
+  FROM ranked WHERE rk <= 3 AND vec_id < 10
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         {_COS.format(a='q.qv', b='c.cv2')} AS sim
+  FROM q_assign q JOIN c_assign c USING (cell)
+  WHERE q.query_id <> c.neighbor_id
+), ranked2 AS (
+  SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(sim, 5) AS cosine_sim,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked2 WHERE rank <= 5
+"""
+
+
+@register("ann_cosine_ivf", _ANN_IVF_SQL)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (kmeans cells + probe): rows-only — the MLlib model is not
-    SQL-expressible; recall pinned vs brute force in pytest."""
+    """IVF ANN end-to-end (cell assignment → n_probe bucket join → exact
+    rescore) with DETERMINISTIC centroids — the embeddings of 8 fixed
+    vec_ids — so the whole index build + probe is reproducible arithmetic
+    and the DuckDB oracle re-derives it. The MLlib-k-means-trained path
+    (train_centroids) is the production default and keeps its recall-vs-
+    brute-force pytest pin; the plan shape is identical either way."""
     from etna_spark.data.ivf import cosine_topk_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(*_IVF_CENTROID_IDS))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk_ivf(queries, emb, k=5, n_cells=8, n_probe=3)
+    out = cosine_topk_ivf(
+        queries, emb, k=5, n_cells=8, n_probe=3, centroids=centroids
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine_sim", 5).alias("cosine_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 @register("stl_detrend_1h", None)

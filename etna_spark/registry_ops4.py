@@ -390,11 +390,35 @@ def q_fourier_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("model_decompose_1h", None)
+@register(
+    "model_decompose_1h",
+    """
+WITH series AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT event_type, bucket_ts, CAST(vc AS DOUBLE) AS v,
+    avg(CAST(vc AS DOUBLE)) OVER (
+      PARTITION BY event_type ORDER BY bucket_ts
+      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS pred
+  FROM series
+)
+SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts,
+       round(pred, 6) AS target_prediction,
+       round(v - pred, 6) AS target_residuals
+FROM p
+""",
+)
 def q_model_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ModelDecomposeTransform (reference decomposition/model_based.py:42),
-    STL model: LOESS is not SQL-expressible → rows-only, SELF-VERIFYING:
-    seasonality + trend + residuals must sum back to the series exactly."""
+    SMA model: in-sample one-step prediction = mean of the previous
+    ``window`` positional values — pure lag arithmetic, so the oracle
+    re-derives it as a window avg over the same integer cents (sums of ≤5
+    integers are exact in double; the division is correctly rounded
+    identically in both engines). The STL variant of the same transform
+    stays pinned by the self-verifying ``stl_detrend_1h`` entry + the
+    pytest goldens (LOESS is not SQL-expressible)."""
     from etna_spark.operators.fourier_decompose import model_decompose
 
     s = _events_1h(spark, sf_dir).select(
@@ -402,25 +426,18 @@ def q_model_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_cents").cast("double").alias("v"),
     )
     out = model_decompose(
-        s, model="stl", in_col="v", residuals=True, period=24,
+        s, model="sma", in_col="v", residuals=True, window=5, seasonality=1,
         series_cols=("event_type",), ts_col="bucket_ts",
     )
-    recon = (
-        F.col("target_seasonality") + F.col("target_trend")
-        + F.col("target_residuals")
-    )
-    # n_null is reported (not filtered away) so a regression that NULLs the
-    # components everywhere cannot pass with a tiny n_points; coalesce makes
-    # a NULL comparison a mismatch rather than a F.min skip
-    return out.groupBy("event_type").agg(
-        F.count(F.when(F.col("target_trend").isNull(), 1)).alias("n_null"),
-        F.count(F.col("target_trend")).alias("n_points"),
-        F.min(F.when(
-            F.col("target_trend").isNotNull(),
-            F.coalesce(
-                (F.abs(F.col("v") - recon) < 1e-6).cast("int"), F.lit(0)
-            ),
-        )).alias("all_match"),
+    # the kernel emits NaN where the frame is empty (first row) — the
+    # oracle's window avg is NULL there; align the encodings
+    def nn(c):
+        return F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+
+    return out.select(
+        "event_type", epoch(),
+        F.round(nn("target_prediction"), 6).alias("target_prediction"),
+        F.round(nn("target_residuals"), 6).alias("target_residuals"),
     )
 
 

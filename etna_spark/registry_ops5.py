@@ -116,6 +116,41 @@ def q_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_predict_insample_1h",
+    _DENSE_1H
+    + """
+, pos AS (
+  SELECT event_type, bucket_ts,
+         row_number() OVER w AS rn,
+         lag(v, 24) OVER w AS l24,
+         lag(v, 48) OVER w AS l48
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+)
+SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts,
+       round((CAST(l24 AS DOUBLE) + CAST(l48 AS DOUBLE)) / 2.0, 6) AS pred
+FROM pos WHERE rn > 48
+""",
+)
+def q_pipeline_predict_insample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline.predict — in-sample true-context predictions (reference
+    pipeline/base.py:590-656 + seasonal_ma.py:187-203): SMA(window=2,
+    seasonality=24) over the dense hourly series; prediction[t] =
+    (y[t−24] + y[t−48]) / 2 from ACTUAL values. Default start = first
+    full-context row (rn > 48). Pure JVM window plan, exact in double."""
+    from etna_spark.plans.pipeline import Pipeline, SeasonalMovingAverageModel
+
+    dense = _dense_1h(spark, sf_dir)
+    p = Pipeline(
+        model=SeasonalMovingAverageModel(window=2, seasonality=24),
+        horizon=6, step_seconds=3600,
+        in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit(dense)
+    out = p.predict()
+    return out.select("event_type", epoch(), F.round("v", 6).alias("pred"))
+
+
+@register(
     "forecast_components_sma_1h",
     _DENSE_1H
     + """
@@ -734,14 +769,72 @@ def q_eda_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("s1", "s2", F.round("corr", 6).alias("corr"))
 
 
-@register("ensemble_stacking_1h", None)
+_STACKING_SQL = _DENSE_1H + """
+, pos AS (
+  SELECT event_type, bucket_ts, v,
+         lag(v, 24) OVER w AS l24, lag(v, 48) OVER w AS l48
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), design AS (
+  -- 3 rolling-origin folds × horizon 6 = the last 18 grid hours; with
+  -- seasonality 24 > horizon both bases collapse to pure actual-value lags
+  SELECT CAST(2 * l24 AS BIGINT) AS q1,
+         CAST(l24 + l48 AS BIGINT) AS q2,
+         CAST(2 * v AS BIGINT) AS y2
+  FROM pos CROSS JOIN bounds b
+  WHERE bucket_ts > b.mx - INTERVAL 18 HOUR
+    AND l24 IS NOT NULL AND l48 IS NOT NULL
+), stats AS (
+  SELECT CAST(sum(4) AS DOUBLE) / 4.0 AS a00,
+         CAST(sum(2 * q1) AS DOUBLE) / 4.0 AS a01,
+         CAST(sum(2 * q2) AS DOUBLE) / 4.0 AS a02,
+         CAST(sum(q1 * q1) AS DOUBLE) / 4.0 AS a11,
+         CAST(sum(q1 * q2) AS DOUBLE) / 4.0 AS a12,
+         CAST(sum(q2 * q2) AS DOUBLE) / 4.0 AS a22,
+         CAST(sum(2 * y2) AS DOUBLE) / 4.0 AS b0,
+         CAST(sum(q1 * y2) AS DOUBLE) / 4.0 AS b1,
+         CAST(sum(q2 * y2) AS DOUBLE) / 4.0 AS b2
+  FROM design
+), minors AS (
+  SELECT *,
+    a11 * a22 - a12 * a12 AS m00,
+    a01 * a22 - a12 * a02 AS m01,
+    a01 * a12 - a11 * a02 AS m02
+  FROM stats
+), solve AS (
+  -- the exact float chain of StackingEnsemble._fit_cramer
+  SELECT
+    a00 * m00 - a01 * m01 + a02 * m02 AS det,
+    b0 * m00 - a01 * (b1 * a22 - a12 * b2) + a02 * (b1 * a12 - a11 * b2) AS d0,
+    a00 * (b1 * a22 - a12 * b2) - b0 * m01 + a02 * (a01 * b2 - b1 * a02) AS d1,
+    a00 * (a11 * b2 - b1 * a12) - a01 * (a01 * b2 - b1 * a02) + b0 * m02 AS d2
+  FROM minors
+)
+SELECT f.event_type,
+       CAST(epoch(b.mx + INTERVAL 1 HOUR * f.j) AS BIGINT) AS bucket_ts,
+       round(s.d0 / s.det
+             + (s.d1 / s.det) * CAST(p24.v AS DOUBLE)
+             + (s.d2 / s.det)
+               * ((CAST(p24.v AS DOUBLE) + CAST(p48.v AS DOUBLE)) / 2.0),
+             6) AS pred
+FROM fut f CROSS JOIN bounds b CROSS JOIN solve s
+JOIN d p24 ON p24.event_type = f.event_type
+          AND p24.bucket_ts = b.mx - INTERVAL 1 HOUR * (24 - f.j)
+JOIN d p48 ON p48.event_type = f.event_type
+          AND p48.bucket_ts = b.mx - INTERVAL 1 HOUR * (48 - f.j)
+"""
+
+
+@register("ensemble_stacking_1h", _STACKING_SQL)
 def q_ensemble_stacking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """StackingEnsemble (reference ensembles/stacking_ensemble.py:26-250):
-    the OLS meta-fit is a LAPACK solve (not SQL-expressible) → rows-only,
-    SELF-VERIFYING: with an intercept, the stacked in-sample MSE over the
-    backtest span can never exceed either base model's (each base is in the
-    regression span) — all_match=1 pins that the normal equations were
-    assembled and solved correctly."""
+    """StackingEnsemble end-to-end (reference ensembles/
+    stacking_ensemble.py:26-250): naive(24) + SMA(2,24) bases, 3-fold
+    design, OLS-with-intercept meta-model via the deterministic 'cramer'
+    solver (integer-exact normal-equation statistics + a fixed closed-form
+    float chain — see _fit_cramer), stacked forecast = intercept +
+    Σ coefᵢ·baseᵢ. The oracle replays the folds as lags, re-assembles the
+    same BIGINT statistics, and solves with the identical expression
+    sequence, so coefficients and predictions bit-match."""
     from etna_spark.plans.ensembles import StackingEnsemble
     from etna_spark.plans.pipeline import (
         Pipeline, SeasonalMovingAverageModel, naive_model,
@@ -757,43 +850,64 @@ def q_ensemble_stacking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pipes = [pipe(naive_model(24)),
              pipe(SeasonalMovingAverageModel(window=2, seasonality=24))]
-    ens = StackingEnsemble(pipes, n_folds=3).fit(dense)
-    # the fit-time design frame is materialized — reuse it instead of
-    # re-running every fold's fit+forecast
-    joined = ens._design
-    stacked = (
-        F.lit(ens.intercept_)
-        + F.lit(ens.coef_[0]) * F.col("_p0")
-        + F.lit(ens.coef_[1]) * F.col("_p1")
-    )
-    e = [F.col("v") - F.col("_p0"), F.col("v") - F.col("_p1"),
-         F.col("v") - stacked]
-    agg = joined.agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.avg(e[0] * e[0]).alias("mse_naive"),
-        F.avg(e[1] * e[1]).alias("mse_sma"),
-        F.avg(e[2] * e[2]).alias("mse_stacked"),
-    )
-    return agg.select(
-        "n_points",
-        F.round("mse_naive", 4).alias("mse_naive"),
-        F.round("mse_sma", 4).alias("mse_sma"),
-        F.round("mse_stacked", 4).alias("mse_stacked"),
-        (
-            (F.col("mse_stacked") <= F.col("mse_naive") + 1e-6)
-            & (F.col("mse_stacked") <= F.col("mse_sma") + 1e-6)
-        ).cast("int").alias("all_match"),
-    )
+    ens = StackingEnsemble(pipes, n_folds=3, solver="cramer").fit(dense)
+    out = ens.forecast()
+    return out.select("event_type", epoch(), F.round("v", 6).alias("pred"))
 
 
-@register("hierarchy_pipeline_topdown", None)
+_HIER_PIPE_SQL = """
+WITH nl0 AS (
+  SELECT c.c_nationkey AS nationkey, date_trunc('month', o_orderdate) AS month_ts,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), months AS (SELECT DISTINCT month_ts FROM nl0),
+nations AS (SELECT DISTINCT nationkey FROM nl0),
+nl AS (
+  SELECT n.nationkey, m.month_ts, COALESCE(CAST(x.vc AS DOUBLE), 0.0) AS v
+  FROM nations n CROSS JOIN months m
+  LEFT JOIN nl0 x ON x.nationkey = n.nationkey AND x.month_ts = m.month_ts
+), map AS (
+  SELECT n_nationkey AS nationkey, r_name AS region
+  FROM nation JOIN region ON r_regionkey = n_regionkey
+), pl AS (
+  SELECT map.region, nl.month_ts, sum(nl.v) AS pv
+  FROM nl JOIN map USING (nationkey) GROUP BY 1, 2
+), last6 AS (
+  SELECT DISTINCT month_ts FROM nl ORDER BY month_ts DESC LIMIT 6
+), cstat AS (
+  SELECT nl.nationkey, map.region, sum(nl.v) / count(nl.v) AS mc
+  FROM nl JOIN map USING (nationkey) JOIN last6 USING (month_ts)
+  GROUP BY 1, 2
+), pstat AS (
+  SELECT region, sum(pv) / count(pv) AS mp
+  FROM pl JOIN last6 USING (month_ts) GROUP BY 1
+), w AS (
+  SELECT nationkey, c.region, mc / mp AS w
+  FROM cstat c JOIN pstat USING (region)
+), bounds AS (SELECT max(month_ts) AS mx FROM nl),
+fc AS (
+  SELECT pl.region, pl.pv AS last_v FROM pl JOIN bounds b ON pl.month_ts = b.mx
+)
+SELECT w.nationkey, w.region,
+       CAST(epoch(b.mx + INTERVAL 30 DAY * s.j) AS BIGINT) AS step_ts,
+       round(fc.last_v * w.w, 6) AS value
+FROM w JOIN fc USING (region)
+CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS j) s
+CROSS JOIN bounds b
+"""
+
+
+@register("hierarchy_pipeline_topdown", _HIER_PIPE_SQL)
 def q_hierarchy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HierarchicalPipeline end-to-end (reference pipeline/
-    hierarchical_pipeline.py:30-220): naive forecast at the region level,
-    PHA-distributed to nations. Rows-only, SELF-VERIFYING: PHA proportions
-    over a fully-covered history sum to exactly 1 per parent, so the
-    reconciled children must sum back to the parent forecast — all_match=1
-    per (region, step)."""
+    hierarchical_pipeline.py:30-220): naive(1) forecast at the region
+    level, PHA-distributed to nations (top_down.py:135-139). The oracle
+    replays the whole pipeline in SQL: zero-filled child grid → parent
+    rollup → PHA shares over the last-6-month window (sums of integer
+    cents are exact in double, so mc/mp and the final product are
+    identical float chains in both engines) → naive parent forecast
+    (= last parent value at every step) × share per child."""
     from etna_spark.operators.reconciliation import (
         HierarchicalPipeline, TopDownReconciliator,
     )
@@ -844,23 +958,10 @@ def q_hierarchy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         model=naive_model(1), horizon=2, step_seconds=30 * 86400,
         in_col="value", series_cols=("region",), ts_col="month_ts",
     )
-    from etna_spark.plans.state import materialize
-
     hp = HierarchicalPipeline(pipe, rec).fit(nl)
-    # pin the source forecast once: forecast() would otherwise re-run the
-    # whole make_future + kernel lineage a second time
-    raw_fc = materialize(hp.raw_forecast())
-    raw = raw_fc.select(
-        "region", "month_ts", F.col("value").alias("_parent_fc")
-    )
-    summed = rec.reconcile(raw_fc).groupBy("region", "month_ts").agg(
-        F.sum("value").alias("_child_sum"),
-        F.count("*").alias("n_children"),
-    )
-    return summed.join(raw, on=["region", "month_ts"]).select(
-        "region",
+    out = hp.forecast()
+    return out.select(
+        "nationkey", "region",
         F.col("month_ts").cast("long").alias("step_ts"),
-        "n_children",
-        (F.abs(F.col("_child_sum") - F.col("_parent_fc")) < 1e-6)
-        .cast("int").alias("all_match"),
+        F.round("value", 6).alias("value"),
     )

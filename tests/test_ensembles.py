@@ -222,6 +222,39 @@ def test_stacking_matches_numpy_ols(spark, weekly_df):
     np.testing.assert_allclose(got.to_numpy(), expect.to_numpy(), rtol=1e-9)
 
 
+def test_stacking_cramer_matches_lstsq(spark, weekly_df):
+    """The deterministic integer-stat Cramer solver must agree with the
+    lstsq path on a well-conditioned integer-valued design."""
+    from etna_spark.plans.ensembles import StackingEnsemble
+
+    def pipes():
+        return [_pipe(naive_model(7)),
+                _pipe(SeasonalMovingAverageModel(window=2, seasonality=7))]
+
+    # weekly pattern + a non-affine deterministic term: on the pure weekly
+    # fixture the two bases coincide (singular design), and with a linear
+    # trend they differ only by a constant (still collinear w/ intercept) —
+    # the quadratic-residue term breaks both degeneracies, values stay
+    # integral for the integer-stat solver
+    rows = [
+        (s, START + dt.timedelta(days=i), float(base + (i % 7) + (i * i % 11)))
+        for s, base in (("a", 10.0), ("b", 100.0)) for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    ls = StackingEnsemble(pipes(), n_folds=3).fit(df)
+    cr = StackingEnsemble(pipes(), n_folds=3, solver="cramer").fit(df)
+    np.testing.assert_allclose(cr.intercept_, ls.intercept_, atol=1e-7)
+    np.testing.assert_allclose(cr.coef_, ls.coef_, atol=1e-7)
+    with pytest.raises(ValueError, match="solver"):
+        StackingEnsemble(pipes(), solver="qr")
+    with pytest.raises(NotImplementedError, match="2 bases"):
+        StackingEnsemble(
+            [_pipe(naive_model(7)), _pipe(naive_model(1)),
+             _pipe(naive_model(14))],
+            solver="cramer",
+        ).fit(weekly_df)
+
+
 def test_stacking_validations(spark, weekly_df):
     from etna_spark.plans.ensembles import StackingEnsemble
 

@@ -96,3 +96,45 @@ def test_backtest_metrics(spark):
     # periodic data + naive(7): perfect forecast
     assert all(r["mae"] == 0.0 and r["mse"] == 0.0 for r in rows)
     assert sorted({r["fold"] for r in rows}) == [0, 1, 2]
+
+
+def test_predict_insample_true_context(spark):
+    """Pipeline.predict = strided mean of ACTUAL lags (seasonal_ma.py:
+    187-203), unlike forecast's autoregressive recursion."""
+    df = _panel(spark)  # 28 days, weekly pattern, values i % 7 (+ base)
+    model = SeasonalMovingAverageModel(window=2, seasonality=7)
+    p = Pipeline(model=model, horizon=5, in_col="value",
+                 series_cols=("series",), ts_col="ts").fit(df)
+    out = p.predict()
+    got = _fc(out, "s1")
+    # default start = first full-context row (position 15 of 28, 0-based 14)
+    assert len(got) == 28 - 14
+    hist = np.array([i % 7 for i in range(28)], float)
+    expected = [(hist[i - 7] + hist[i - 14]) / 2 for i in range(14, 28)]
+    np.testing.assert_allclose(got, expected)
+    # s2 rides 100 higher
+    np.testing.assert_allclose(_fc(out, "s2"), np.array(expected) + 100.0)
+
+
+def test_predict_insample_validations(spark):
+    import datetime as dt
+
+    import pytest
+
+    df = _panel(spark)
+    p = Pipeline(model=naive_model(7), horizon=5, in_col="value",
+                 series_cols=("series",), ts_col="ts").fit(df)
+    t0 = dt.datetime(2020, 1, 1)
+    with pytest.raises(ValueError, match="end_timestamp is more"):
+        p.predict(end_ts=t0 + dt.timedelta(days=60))
+    with pytest.raises(ValueError, match="less than start"):
+        p.predict(start_ts=t0 + dt.timedelta(days=20),
+                  end_ts=t0 + dt.timedelta(days=10))
+    with pytest.raises(ValueError, match="NaNs in a target"):
+        p.predict(start_ts=t0 + dt.timedelta(days=2))
+    # explicit range inside the full-context span works
+    out = p.predict(start_ts=t0 + dt.timedelta(days=10),
+                    end_ts=t0 + dt.timedelta(days=12))
+    assert out.count() == 6  # 3 days x 2 series
+    vals = _fc(out, "s1")
+    np.testing.assert_allclose(vals, [(10 - 7) % 7, (11 - 7) % 7, (12 - 7) % 7])
