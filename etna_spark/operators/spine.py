@@ -82,10 +82,73 @@ def regularize(
     ts_col: str = "bucket_ts",
     per_series: bool = False,
 ) -> DataFrame:
-    """Left-join tier rows onto the dense spine; missing buckets become null
-    rows — the Spark twin of ETNA's ``asfreq`` gap materialization."""
-    spine = calendar_spine(tier_df, tier, series_cols, ts_col, per_series)
-    return spine.join(tier_df, on=[*series_cols, ts_col], how="left")
+    """Materialize missing buckets as null rows — the Spark twin of ETNA's
+    ``asfreq`` gap materialization.
+
+    GAP-EXPANSION formulation (not a spine join): each observation emits
+    itself plus the null gap rows up to the next observation in its series
+    (``lead`` + ``sequence``-explode); the first observation additionally
+    back-fills to the global min so every series spans the shared
+    [min, max] index. One window pass over the data's OWN (series)
+    partitioning — a tier table cached partitioned by series needs NO new
+    exchange, and the exploded output stays series-partitioned for the
+    downstream fill windows. The equivalent spine left-join shuffles both
+    the spine AND the tier table on (series, ts); at 100 TB that join is
+    the gap-fill bottleneck (measured 2→8-core scaling 0.64 → this shape
+    removes the exchange entirely).
+
+    ``per_series=True``: each series' grid covers its own [min, max]
+    (misalignment-tolerant variant) — no back-fill, spine size = Σ spans.
+    """
+    step_seconds, _ = TIERS[tier]
+    step = F.expr(f"interval {step_seconds} seconds")
+    w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    value_cols = [c for c in tier_df.columns
+                  if c not in (*series_cols, ts_col)]
+    value_types = {f.name: f.dataType for f in tier_df.schema.fields}
+    nxt = F.lead(ts_col).over(w)
+    base = tier_df
+    if per_series:
+        base = base.withColumn("_start", F.col(ts_col)).withColumn(
+            "_end", F.greatest(F.coalesce(nxt - step, F.col(ts_col)),
+                               F.col(ts_col))
+        )
+    else:
+        bounds = tier_df.agg(
+            F.min(ts_col).alias("_mn"), F.max(ts_col).alias("_mx")
+        )
+        base = (
+            base.crossJoin(F.broadcast(bounds))
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "_start",
+                F.when(F.col("_rn") == 1, F.col("_mn"))
+                .otherwise(F.col(ts_col)),
+            )
+            .withColumn(
+                "_end",
+                F.greatest(F.coalesce(nxt - step, F.col("_mx")),
+                           F.col(ts_col)),
+            )
+        )
+    exploded = base.select(
+        *series_cols,
+        F.col(ts_col).alias("_orig"),
+        *value_cols,
+        F.explode(
+            F.sequence(F.col("_start"), F.col("_end"), step)
+        ).alias("_sts"),
+    )
+    return exploded.select(
+        *series_cols,
+        F.col("_sts").alias(ts_col),
+        *[
+            F.when(F.col("_sts") == F.col("_orig"), F.col(f"`{c}`"))
+            .otherwise(F.lit(None).cast(value_types[c]))
+            .alias(c)
+            for c in value_cols
+        ],
+    )
 
 
 def ffill(
