@@ -32,7 +32,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -141,6 +141,76 @@ def dtw_distance_pairs_sym(
     )
 
 
+def _dtw_matrix(x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    """Full DTW cost matrix (reference _build_matrix, dtw_distance.py:55-71)
+    with |.| point distance — row-vectorized like ``_dtw_kernel`` (the
+    prefix-min unrolling is bit-equal to the serial DP), but every row is
+    kept for path backtracking."""
+    n1, n2 = len(x1), len(x2)
+    m = np.empty((n1, n2))
+    m[0] = np.cumsum(np.abs(x1[0] - x2))
+    for i in range(1, n1):
+        c = np.abs(x1[i] - x2)
+        shifted = np.empty(n2)
+        shifted[0] = np.inf
+        shifted[1:] = m[i - 1, :-1]
+        t = c + np.minimum(m[i - 1], shifted)
+        s = np.cumsum(c)
+        m[i] = s + np.minimum.accumulate(t - s)
+    return m
+
+
+def _dtw_path(matrix: np.ndarray) -> list[tuple[int, int]]:
+    """Warping path, reference _get_path (dtw_distance.py:73-90) exactly —
+    including its first-minimum tie-break over [(i-1,j), (i,j-1),
+    (i-1,j-1)]."""
+    i, j = matrix.shape[0] - 1, matrix.shape[1] - 1
+    path = [(i, j)]
+    while i and j:
+        candidates = ((i - 1, j), (i, j - 1), (i - 1, j - 1))
+        costs = [matrix[c] for c in candidates]
+        k = costs.index(min(costs))
+        i, j = candidates[k]
+        path.append((i, j))
+    while i:
+        i -= 1
+        path.append((i, j))
+    while j:
+        j -= 1
+        path.append((i, j))
+    return path
+
+
+def _dba_iteration(centroid: np.ndarray, series_list) -> np.ndarray:
+    """One DBA pass (reference _dba_iteration, dtw_distance.py:100-117):
+    warp every series onto the centroid, average the associated values —
+    reproducing the reference's walk exactly (the (0, j)/(i, 0) tail of the
+    path contributes nothing, as there)."""
+    assoc = centroid.copy()
+    n_samples = np.ones(len(centroid))
+    for series in series_list:
+        mat = _dtw_matrix(centroid, series)
+        path = _dtw_path(mat)
+        i, j = len(centroid) - 1, len(series) - 1
+        while i and j:
+            assoc[i] += series[j]
+            n_samples[i] += 1
+            path.pop(0)
+            i, j = path[0]
+    return assoc / n_samples
+
+
+def dba_centroid(series_list, n_iters: int = 10) -> np.ndarray:
+    """DTW barycenter average (reference _get_average, dtw_distance.py:
+    137-160): start from the longest series (first among ties), run
+    ``n_iters`` DBA passes."""
+    longest = max(series_list, key=len)
+    centroid = np.asarray(longest, dtype=np.float64).copy()
+    for _ in range(n_iters):
+        centroid = _dba_iteration(centroid, series_list)
+    return centroid
+
+
 def agglomerate(
     dist_pdf: pd.DataFrame,
     n_clusters: int,
@@ -242,9 +312,18 @@ class HierarchicalClustering:
         self._dist = fn(df, self.series_col, self.ts_col, self.value_col)
         return self
 
+    # full-linkage agglomeration collects the #series² pair list to the
+    # driver — hard-capped; larger fleets go through fit_predict_threshold
+    # (distributed single-linkage) or the k-means/IVF path (data/ivf.py)
+    MAX_DRIVER_SERIES = 10_000
+
     def fit_predict(
         self, n_clusters: int, linkage: str = "average"
     ) -> DataFrame:
+        """Driver-side Lance-Williams agglomeration (reference
+        hierarchical/base.py:33-160). O(#series²) driver memory — guarded
+        at MAX_DRIVER_SERIES; beyond that use ``fit_predict_threshold``
+        (distributed, single linkage) or MLlib k-means over features."""
         if self._dist is None:
             raise ValueError(
                 "Distance matrix is not built! Call build_distance_matrix "
@@ -254,32 +333,131 @@ class HierarchicalClustering:
             r[0]
             for r in self._df.select(self.series_col).distinct().collect()
         ]
+        if len(nodes) > self.MAX_DRIVER_SERIES:
+            raise ValueError(
+                f"{len(nodes)} series exceed the driver agglomeration cap "
+                f"({self.MAX_DRIVER_SERIES}); use fit_predict_threshold() "
+                f"(distributed single-linkage) or a k-means/IVF path for "
+                f"large fleets."
+            )
         labels = agglomerate(
             self._dist.toPandas(), n_clusters, linkage, nodes=nodes
         )
         self.segment2cluster = labels
         spark = self._df.sparkSession
-        return spark.createDataFrame(
+        self._labels_df = spark.createDataFrame(
             sorted(labels.items()), f"{self.series_col} string, cluster int"
         )
+        return self._labels_df
 
-    def get_centroids(self) -> DataFrame:
-        """Per-cluster per-timestamp mean — the euclidean average series
-        (reference euclidean_distance.py:48-60). DTW barycenter averaging is
-        not implemented; the euclidean centroid is returned for both
-        metrics, which matches the common use (cluster then eyeball)."""
-        if self.segment2cluster is None or self._df is None:
+    def fit_predict_threshold(self, threshold: float) -> DataFrame:
+        """Distributed single-linkage: series within ``threshold`` distance
+        are edges, clusters are connected components (min-label
+        propagation, data/dedup.py machinery) — cutting the dendrogram at a
+        height instead of a cluster count. Never materializes the matrix
+        anywhere: the pair table stays distributed end-to-end, so fleet
+        cardinality is bounded by the cluster, not the driver. Labels are
+        dense ints in first-seen order of the sorted series list (same
+        convention as ``agglomerate``)."""
+        from etna_spark.data.dedup import connected_components
+
+        if self._dist is None:
+            raise ValueError(
+                "Distance matrix is not built! Call build_distance_matrix "
+                "before fit_predict."
+            )
+        edges = self._dist.filter(F.col("dist") <= threshold).select(
+            "s1", "s2"
+        )
+        comp = connected_components(edges, src="s1", dst="s2").select(
+            F.col("u").alias("node"), "component"
+        )
+        all_series = self._df.select(
+            F.col(self.series_col).alias("node")
+        ).distinct()
+        labeled = all_series.join(comp, on="node", how="left").select(
+            F.col("node").alias(self.series_col),
+            # isolated series (no edge within threshold) root themselves
+            F.coalesce(F.col("component"), F.col("node")).alias("_root"),
+        )
+        wroot = Window.orderBy("_root")
+        roots = (
+            labeled.select("_root").distinct()
+            .withColumn("cluster", (F.dense_rank().over(wroot) - 1).cast("int"))
+        )
+        out = labeled.join(roots, on="_root").select(
+            self.series_col, "cluster"
+        )
+        self.segment2cluster = None  # labels live distributed
+        self._labels_df = out
+        return out
+
+    def get_centroids(self, method: str = "euclidean",
+                      n_iters: int = 10) -> DataFrame:
+        """Per-cluster centroid series.
+
+        ``method='euclidean'``: per-(cluster, timestamp) mean (reference
+        euclidean_distance.py:48-60) — one hash aggregation.
+        ``method='dba'``: DTW barycenter averaging (reference
+        dtw_distance.py:100-160) — per-cluster applyInPandas over the
+        JVM-packed member series; returns the barycenter on the longest
+        member's timestamps. State rides with the group: one kernel call
+        per cluster, no driver data."""
+        if getattr(self, "_labels_df", None) is None or self._df is None:
             raise ValueError(
                 "HierarchicalClustering is not fitted! Fit the "
                 "HierarchicalClustering before calling get_centroids!"
             )
-        spark = self._df.sparkSession
-        lab = spark.createDataFrame(
-            sorted(self.segment2cluster.items()),
-            f"{self.series_col} string, cluster int",
+        if method not in ("euclidean", "dba"):
+            raise ValueError(f"unknown centroid method '{method}'")
+        lab = self._labels_df
+        if method == "euclidean":
+            return (
+                self._df.join(F.broadcast(lab), on=self.series_col)
+                .groupBy("cluster", self.ts_col)
+                .agg(F.avg(self.value_col).alias(self.value_col))
+            )
+        ts_type = self._df.schema[self.ts_col].dataType.simpleString()
+        packed = (
+            self._df.filter(F.col(self.value_col).isNotNull())
+            .join(F.broadcast(lab), on=self.series_col)
+            .groupBy("cluster", self.series_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col(self.ts_col), F.col(self.value_col).alias("v")
+                    ))
+                ).alias("_pts")
+            )
+            .select(
+                "cluster",
+                F.col(self.series_col).alias("_series"),
+                F.col(f"_pts.{self.ts_col}").alias("_tss"),
+                F.col("_pts.v").alias("_vs"),
+            )
         )
-        return (
-            self._df.join(F.broadcast(lab), on=self.series_col)
-            .groupBy("cluster", self.ts_col)
-            .agg(F.avg(self.value_col).alias(self.value_col))
+        ts_col, value_col = self.ts_col, self.value_col
+
+        def dba_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            # deterministic member order (the reference iterates segments
+            # in sorted order; Arrow batch order is not deterministic)
+            pdf = pdf.sort_values("_series", kind="mergesort").reset_index(
+                drop=True
+            )
+            series_list = [
+                np.asarray(v, dtype=np.float64) for v in pdf["_vs"]
+            ]
+            longest_i = max(
+                range(len(series_list)), key=lambda i: len(series_list[i])
+            )
+            centroid = dba_centroid(series_list, n_iters=n_iters)
+            return pd.DataFrame({
+                "cluster": pdf["cluster"].iloc[0],
+                ts_col: pd.Series(pdf["_tss"].iloc[longest_i]),
+                value_col: centroid,
+            })
+
+        return packed.groupBy("cluster").applyInPandas(
+            dba_kernel,
+            f"cluster int, {ts_col} {ts_type}, {value_col} double",
         )
