@@ -29,6 +29,46 @@ def _num_pos_freqs(n: int) -> int:
     return int(np.ceil((n - 1) / 2) + 1)
 
 
+def _dft_components_direct(y: np.ndarray, k: int, residuals: bool) -> np.ndarray:
+    """Exact-mode twin of ``_dft_components``: direct DFT with scalar
+    left-to-right float accumulation and glibc cos/sin. Same semantics,
+    O(n²) — every float op is a fixed sequential chain a SQL oracle can
+    replay bit-for-bit (DuckDB's cos/sin and Python's math.cos/sin are the
+    same libm on this platform; verified over 1800-2100-style angle sets).
+    Component rows come out in DESCENDING amplitude order (ties → lower
+    frequency first) instead of argpartition's unspecified order."""
+    import math
+
+    n = len(y)
+    num_pos = _num_pos_freqs(n)
+    two_pi = 2 * math.pi
+    re = [0.0] * num_pos
+    im = [0.0] * num_pos
+    for f in range(num_pos):
+        sr = 0.0
+        si = 0.0
+        for t in range(n):
+            ang = two_pi * f * t / n
+            sr = sr + y[t] * math.cos(ang)
+            si = si - y[t] * math.sin(ang)
+        re[f] = sr
+        im[f] = si
+    amp2 = [re[f] * re[f] + im[f] * im[f] for f in range(num_pos)]
+    top = sorted(range(num_pos), key=lambda f: (-amp2[f], f))[:k]
+    comps = np.empty((k + (1 if residuals else 0), n))
+    for row, f in enumerate(top):
+        for t in range(n):
+            ang = two_pi * f * t / n
+            comps[row, t] = (re[f] * math.cos(ang) - im[f] * math.sin(ang)) / n
+    if residuals:
+        for t in range(n):
+            acc = y[t]
+            for row in range(k):
+                acc = acc - comps[row, t]
+            comps[k, t] = acc
+    return comps
+
+
 def _dft_components(y: np.ndarray, k: int, residuals: bool) -> np.ndarray:
     """(k[+1], n) component matrix for one gap-free series (reference
     _dft_components, dft_based.py:89-124)."""
@@ -50,10 +90,19 @@ def fourier_decompose(
     residuals: bool = False,
     series_cols: Sequence[str] = ("series",),
     ts_col: str = "ts",
+    method: str = "fft",
 ) -> DataFrame:
-    """Append ``dft_0..dft_{k-1}`` (+ ``dft_residuals``) per series."""
+    """Append ``dft_0..dft_{k-1}`` (+ ``dft_residuals``) per series.
+
+    ``method='fft'`` (default): numpy FFT — the production path.
+    ``method='direct'``: exact sequential DFT (same decomposition, fixed
+    float op order, deterministic component ordering) — the cross-engine-
+    reproducible mode used by oracle queries; O(n²) per series, intended
+    for short series (daily tiers, seasonal profiles)."""
     if k <= 0:
         raise ValueError("Parameter `k` must be positive integer!")
+    if method not in ("fft", "direct"):
+        raise ValueError(f"unknown method '{method}'")
     keys = list(series_cols)
     comp_cols = [f"dft_{i}" for i in range(k)] + (
         ["dft_residuals"] if residuals else []
@@ -79,7 +128,11 @@ def fourier_decompose(
                 f"Parameter `k` must not be greater then "
                 f"{_num_pos_freqs(len(yy))} for the provided dataset!"
             )
-        comps = _dft_components(yy, k, residuals)
+        comps = (
+            _dft_components(yy, k, residuals)
+            if method == "fft"
+            else _dft_components_direct(yy, k, residuals)
+        )
         for i, c in enumerate(comp_cols):
             col = np.full(len(y), np.nan)
             col[lo : hi + 1] = comps[i]

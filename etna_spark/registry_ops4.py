@@ -362,11 +362,59 @@ def q_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fourier_decompose_1h", None)
+_FOURIER_SQL = """
+WITH s AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2
+), packed AS (
+  SELECT event_type,
+         list(CAST(vc AS DOUBLE) ORDER BY bucket_ts) AS ys,
+         list(bucket_ts ORDER BY bucket_ts) AS ts_list,
+         count(*) AS n
+  FROM s GROUP BY event_type
+), coef AS (
+  -- direct DFT, sequential accumulation: the exact float chain of
+  -- _dft_components_direct (acc + (-x) ≡ acc - x in IEEE)
+  SELECT event_type, ys, ts_list, n, f,
+    list_reduce([0.0] || list_transform(range(0, CAST(n AS INTEGER)), t ->
+      ys[t + 1] * cos(2 * pi() * f * t / n)), (acc, x) -> acc + x) AS re,
+    list_reduce([0.0] || list_transform(range(0, CAST(n AS INTEGER)), t ->
+      -(ys[t + 1] * sin(2 * pi() * f * t / n))), (acc, x) -> acc + x) AS im
+  FROM packed
+  CROSS JOIN unnest(range(0, CAST(ceil((n - 1) / 2.0) + 1 AS INTEGER))) AS u(f)
+), sel AS (
+  SELECT event_type, any_value(ys) AS ys, any_value(ts_list) AS ts_list,
+         any_value(n) AS n,
+         list(struct_pack(f := f, re := re, im := im) ORDER BY rk)
+           FILTER (rk <= 4) AS comps
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY re * re + im * im DESC, f) AS rk
+    FROM coef
+  )
+  GROUP BY event_type
+)
+SELECT event_type,
+  CAST(epoch(ts_list[t + 1]) AS BIGINT) AS bucket_ts,
+  round(list_reduce([0.0] || list_transform(comps, c ->
+    (c.re * cos(2 * pi() * c.f * t / n) - c.im * sin(2 * pi() * c.f * t / n))
+    / n), (acc, x) -> acc + x), 6) + 0.0 AS smooth,
+  round(list_reduce([ys[t + 1]] || list_transform(comps, c ->
+    (c.re * cos(2 * pi() * c.f * t / n) - c.im * sin(2 * pi() * c.f * t / n))
+    / n), (acc, x) -> acc - x), 6) + 0.0 AS resid
+FROM sel CROSS JOIN unnest(range(0, CAST(n AS INTEGER))) AS u(t)
+"""
+
+
+@register("fourier_decompose_1h", _FOURIER_SQL)
 def q_fourier_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FourierDecomposeTransform (reference dft_based.py:11-210): FFT is
-    not SQL-expressible → rows-only, SELF-VERIFYING: with residuals=True
-    the components must sum back to the series exactly (all_match flag)."""
+    """FourierDecomposeTransform (reference dft_based.py:11-210) in the
+    exact direct-DFT mode: top-4 frequencies by amplitude, components
+    summed into the smooth part + residual. Every float op (glibc cos/sin,
+    sequential accumulation, deterministic amplitude-desc component order)
+    is a fixed chain the DuckDB twin replays bit-for-bit — the FFT
+    production path is pinned against this mode by pytest equivalence."""
     from etna_spark.operators.fourier_decompose import fourier_decompose
 
     s = _events_1h(spark, sf_dir).select(
@@ -375,18 +423,15 @@ def q_fourier_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = fourier_decompose(
         s, k=4, in_col="v", residuals=True,
-        series_cols=("event_type",), ts_col="bucket_ts",
+        series_cols=("event_type",), ts_col="bucket_ts", method="direct",
     )
-    recon = sum(
-        (F.col(f"dft_{i}") for i in range(4)), F.col("dft_residuals")
-    )
-    return out.groupBy("event_type").agg(
-        F.count("*").alias("n_points"),
-        # coalesce: a NULL component makes the comparison NULL, which F.min
-        # would skip — it must count as a mismatch
-        F.min(F.coalesce(
-            (F.abs(F.col("v") - recon) < 1e-6).cast("int"), F.lit(0)
-        )).alias("all_match"),
+    smooth = F.lit(0.0)
+    for i in range(4):
+        smooth = smooth + F.col(f"dft_{i}")
+    return out.select(
+        "event_type", epoch(),
+        (F.round(smooth, 6) + F.lit(0.0)).alias("smooth"),
+        (F.round("dft_residuals", 6) + F.lit(0.0)).alias("resid"),
     )
 
 

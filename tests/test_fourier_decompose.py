@@ -127,3 +127,28 @@ def test_model_decompose_rejects_unknown_model(spark, wave_df):
 
     with pytest.raises(ValueError, match="not supported"):
         model_decompose(wave_df, model="prophet")
+
+
+def test_direct_mode_matches_fft():
+    """The exact direct-DFT mode must reproduce the FFT decomposition: the
+    same top-k frequency SET, so component SUMS agree to numerical noise
+    (per-column order differs by design: direct = amplitude-desc)."""
+    import numpy as np
+
+    from etna_spark.operators.fourier_decompose import (
+        _dft_components,
+        _dft_components_direct,
+    )
+
+    rng = np.random.default_rng(5)
+    for n in (16, 30, 101):
+        y = np.round(rng.normal(1000, 100, n))
+        for k in (1, 3, 5):
+            a = _dft_components(y, k, residuals=True)
+            b = _dft_components_direct(y, k, residuals=True)
+            np.testing.assert_allclose(
+                a[:k].sum(axis=0), b[:k].sum(axis=0), atol=1e-6
+            )
+            np.testing.assert_allclose(a[k], b[k], atol=1e-6)
+            # components + residual reconstruct the series in both modes
+            np.testing.assert_allclose(b.sum(axis=0), y, atol=1e-6)
