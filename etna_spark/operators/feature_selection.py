@@ -77,7 +77,14 @@ def mrmr_select(
 ) -> list[str]:
     """Greedy MRMR over per-segment correlation statistics (reference
     mrmr_selection.py:33-154, fast_redundancy semantics, mean aggregation).
-    Returns ``top_k`` features sorted by selection order."""
+    Returns ``top_k`` features sorted by selection order.
+
+    Scale contract: the greedy loop is inherently sequential — each
+    iteration launches ONE cluster aggregation (all remaining features'
+    redundancies vs the latest pick are batched into it), so ``top_k`` is
+    the job count and the collected rows are scalar-sized. Fine for the
+    usual top_k ≲ 50; a much larger top_k serializes that many cluster
+    round-trips by design."""
     feature_cols = list(feature_cols)
     if top_k >= len(feature_cols):
         return feature_cols.copy()

@@ -54,7 +54,10 @@ class VotingEnsemble:
         n_folds: int = 3,
         max_rows: int = 100_000,
         seed: int = 0,
+        auto_backend: str = "mllib",
     ):
+        if auto_backend not in ("mllib", "inprocess"):
+            raise ValueError("auto_backend must be 'mllib' or 'inprocess'")
         _validate_common(pipelines)
         if len({p.horizon for p in pipelines}) != 1:
             raise ValueError("All the pipelines should have the same horizon.")
@@ -72,6 +75,7 @@ class VotingEnsemble:
         self.n_folds = n_folds
         self.max_rows = max_rows
         self.seed = seed
+        self.auto_backend = auto_backend
         self.horizon = pipelines[0].horizon
         self.processed_weights: list[float] | None = None
         self._train: DataFrame | None = None
@@ -87,10 +91,6 @@ class VotingEnsemble:
         if self.weights is None:
             w = [1.0] * len(self.pipelines)
         elif self.weights == "auto":
-            from etna_spark.operators.feature_selection import (
-                _extra_trees_importance,
-            )
-
             base = self.pipelines[0]
             keys = [*base.series_cols, base.ts_col]
             joined = None
@@ -103,19 +103,44 @@ class VotingEnsemble:
                 )
                 joined = sel if joined is None else joined.join(sel, on=keys)
             joined = joined.dropna()
-            n = joined.count()
-            if n > self.max_rows:
-                joined = joined.sample(
-                    fraction=self.max_rows / n, seed=self.seed
-                )
-            pdf = joined.toPandas()
             cols = [f"_p{i}" for i in range(len(self.pipelines))]
-            imp = _extra_trees_importance(
-                pdf[cols].to_numpy(np.float64),
-                pdf[base.in_col].to_numpy(np.float64),
-                seed=self.seed,
-            )
-            w = list(imp)
+            if self.auto_backend == "mllib":
+                # reference _process_weights fits a RandomForestRegressor on
+                # (base forecasts → actuals) and uses feature importances
+                # (voting_ensemble.py:128-157). MLlib's forest IS that fit,
+                # distributed: histogram-based split finding from aggregated
+                # sufficient statistics — no toPandas, no row cap, scales
+                # with the design frame instead of the driver.
+                from pyspark.ml.feature import VectorAssembler
+                from pyspark.ml.regression import RandomForestRegressor
+
+                feat = VectorAssembler(
+                    inputCols=cols, outputCol="_features"
+                ).transform(joined)
+                model = RandomForestRegressor(
+                    featuresCol="_features", labelCol=base.in_col,
+                    numTrees=50, maxDepth=8, seed=self.seed,
+                ).fit(feat)
+                w = list(model.featureImportances.toArray())
+            else:
+                # in-process numpy Extra-Trees on a bounded deterministic
+                # sample — the no-JVM-ML fallback
+                from etna_spark.operators.feature_selection import (
+                    _extra_trees_importance,
+                )
+
+                n = joined.count()
+                if n > self.max_rows:
+                    joined = joined.sample(
+                        fraction=self.max_rows / n, seed=self.seed
+                    )
+                pdf = joined.toPandas()
+                imp = _extra_trees_importance(
+                    pdf[cols].to_numpy(np.float64),
+                    pdf[base.in_col].to_numpy(np.float64),
+                    seed=self.seed,
+                )
+                w = list(imp)
         else:
             w = list(self.weights)
         total = sum(w)

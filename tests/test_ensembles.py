@@ -71,14 +71,16 @@ def test_voting_explicit_weights_normalized(spark, weekly_df):
     )
 
 
-def test_voting_auto_weights_favor_better_pipeline(spark, weekly_df):
+@pytest.mark.parametrize("backend", ["mllib", "inprocess"])
+def test_voting_auto_weights_favor_better_pipeline(spark, weekly_df, backend):
     ens = VotingEnsemble(
         [_pipe(naive_model(7)), _pipe(naive_model(1))], weights="auto",
-        n_folds=3,
+        n_folds=3, auto_backend=backend,
     ).fit(weekly_df)
     w = ens.processed_weights
     assert abs(sum(w) - 1.0) < 1e-12
-    # the perfect seasonal-naive predictor must dominate
+    # the perfect seasonal-naive predictor must dominate under either
+    # importance backend (distributed MLlib forest / in-process numpy ET)
     assert w[0] > w[1]
 
 
