@@ -320,7 +320,11 @@ def _with_shipping(fn: SparkQuery) -> SparkQuery:
 # north-rule / data-ops entries; everything else follows in registration
 # order and stays runnable (recorded green in CORRECTNESS_r02).
 _WINDOW_ORDER = [
-    # unrecorded in r02: §2.13 + newly-oracled queries first
+    # unrecorded in r02: north-rule infrastructure + §2.13 + newly-oracled
+    # queries first
+    "tier_refresh_incremental_1h",
+    "streaming_rollup_1m",
+    "backtest_metrics_naive_1h",
     "ensemble_stacking_1h",
     "hierarchy_reconcile_topdown",
     "hierarchy_pipeline_topdown",
@@ -367,9 +371,6 @@ _WINDOW_ORDER = [
     "ann_cosine_lsh",
     "ann_cosine_ivf",
     "imputer_seasonal_autoregressive",
-    "lag_1m",
-    "window_stats_1m",
-    "scalers_per_segment_1h",
     "stl_detrend_1h",
     "metrics_naive_1h",
 ]
@@ -401,3 +402,4 @@ def _load_extra_registries() -> None:
     import etna_spark.registry_ops3  # noqa: F401
     import etna_spark.registry_ops4  # noqa: F401
     import etna_spark.registry_ops5  # noqa: F401
+    import etna_spark.registry_ops6  # noqa: F401

@@ -1,0 +1,191 @@
+"""Registry batch 6: north-rule infrastructure as DRIVER-RECORDED queries.
+
+The incremental tier refresh, the streaming rollup, and the backtest loop
+were previously pytest-only surfaces; each is driver-checkable because its
+END STATE is a plain aggregate a DuckDB oracle can recompute from scratch:
+
+- incremental refresh (two appends + two refreshes) must equal the direct
+  full rollup — the algebraic-merge invariant of plans/tiers.py;
+- the availableNow streaming rollup must equal the batch rollup — the
+  same algebraic set, exactly-once sink;
+- backtest fold metrics over integer-cent series are exact lag arithmetic.
+
+Each query builds its scratch warehouse under /tmp keyed by the sf dir and
+rebuilds it from zero on every call (the driver may run a query twice)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etna_spark.registry import _TOK_CTE, epoch, register
+from etna_spark.synth import doc_token_table
+
+_TOK_1H_SQL = _TOK_CTE + """
+SELECT source,
+       CAST(epoch(date_trunc('hour', event_ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS point_count,
+       CAST(sum(n_tok) AS BIGINT) AS value_sum,
+       min(n_tok) AS value_min,
+       max(n_tok) AS value_max
+FROM tok
+GROUP BY 1, 2
+"""
+
+
+def _scratch(sf_dir: str, kind: str) -> str:
+    key = hashlib.md5(f"{sf_dir}:{kind}".encode()).hexdigest()[:10]
+    path = f"/tmp/etna_q_{kind}_{key}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@register("tier_refresh_incremental_1h", _TOK_1H_SQL)
+def q_tier_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TierEngine end-to-end (plans/tiers.py — the north-rule core): append
+    the first half of the token table, refresh the 1m→1h→1d cascade,
+    append the second half, refresh again, return the 1h tier. The oracle
+    recomputes the rollup directly from ALL rows — green means the
+    incremental merge (partial-agg delta + affected-partition overwrite +
+    snapshot watermark) is exactly equivalent to a full recompute."""
+    from etna_spark.plans.tiers import TierEngine
+
+    wh = _scratch(sf_dir, "tierq")
+    tok = doc_token_table(spark, sf_dir)
+    # tok event_ts spans 2026-01-01..03 at every sf (synth derivation) —
+    # split mid-window so both increments are non-empty
+    split = "2026-01-02 12:00:00"
+    eng = TierEngine(wh, series_cols=("source",), ts_col="event_ts",
+                     value_col="n_tok")
+    eng.input.append(tok.filter(F.col("event_ts") < split))
+    eng.refresh(spark)
+    eng.input.append(tok.filter(F.col("event_ts") >= split))
+    eng.refresh(spark)
+    t = eng.tier_df(spark, "1h")
+    return t.select(
+        "source", epoch(), "point_count",
+        F.col("value_sum").cast("long").alias("value_sum"),
+        F.col("value_min").cast("int").alias("value_min"),
+        F.col("value_max").cast("int").alias("value_max"),
+    )
+
+
+@register("streaming_rollup_1m", _TOK_CTE + """
+SELECT source,
+       CAST(epoch(date_trunc('minute', event_ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS point_count,
+       CAST(sum(n_tok) AS BIGINT) AS value_sum,
+       min(n_tok) AS value_min,
+       max(n_tok) AS value_max
+FROM tok
+GROUP BY 1, 2
+""")
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming 1m rollup (streaming/rollup_stream.py):
+    readStream over the input directory → watermarked tumbling window →
+    availableNow drain into a parquet sink, then read the sink back. The
+    oracle is the batch rollup of the same rows — green pins streaming ≡
+    batch for the full algebraic aggregate set."""
+    from etna_spark.streaming.rollup_stream import (
+        run_available_now,
+        stream_rollup,
+    )
+
+    base = _scratch(sf_dir, "streamq")
+    in_path = os.path.join(base, "input")
+    out_path = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    tok = doc_token_table(spark, sf_dir).select("source", "event_ts", "n_tok")
+    # drain-everything pattern: append-mode windows only flush once the
+    # watermark passes their end, so a finite backfill needs (a) a flush
+    # SENTINEL beyond the real horizon and (b) a single input file, so the
+    # sentinel cannot land in an earlier micro-batch than the data and
+    # late-drop everything
+    mx = tok.agg(F.max("event_ts")).collect()[0][0]
+    import datetime as _dt
+
+    sentinel = spark.createDataFrame(
+        [("_flush", mx + _dt.timedelta(hours=2), 0)],
+        "source string, event_ts timestamp, n_tok int",
+    )
+    tok.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(in_path)
+    schema = spark.read.parquet(in_path).schema
+    sdf = stream_rollup(
+        spark, in_path, schema, tier="1m", series_cols=("source",),
+        ts_col="event_ts", value_col="n_tok", watermark="0 seconds",
+    )
+    run_available_now(sdf, ckpt, out_path)
+    out = spark.read.parquet(out_path).filter(F.col("source") != "_flush")
+    return out.select(
+        "source", epoch(), "point_count",
+        F.col("value_sum").cast("long").alias("value_sum"),
+        F.col("value_min").cast("int").alias("value_min"),
+        F.col("value_max").cast("int").alias("value_max"),
+    )
+
+
+_BACKTEST_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg
+), spine AS (
+  SELECT et.event_type, g.bucket_ts
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+              AS bucket_ts FROM bounds) g
+), filled AS (
+  SELECT event_type, bucket_ts,
+         last_value(value_cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM spine LEFT JOIN agg USING (event_type, bucket_ts)
+), d AS (
+  SELECT event_type, bucket_ts, v FROM filled WHERE v IS NOT NULL
+), lagged AS (
+  SELECT event_type, bucket_ts, CAST(v AS DOUBLE) AS v,
+         CAST(lag(v, 24) OVER (PARTITION BY event_type ORDER BY bucket_ts)
+              AS DOUBLE) AS pred
+  FROM d
+), folds AS (
+  SELECT l.*, CAST(2 - floor((epoch(b.mx) - epoch(l.bucket_ts)) / 3600 / 6)
+                   AS INTEGER) AS fold
+  FROM lagged l CROSS JOIN bounds b
+  WHERE l.bucket_ts > b.mx - INTERVAL 18 HOUR AND l.pred IS NOT NULL
+)
+SELECT event_type, fold,
+       round(avg(abs(pred - v)), 6) AS mae,
+       round(avg((pred - v) * (pred - v)), 6) AS mse
+FROM folds
+GROUP BY 1, 2
+"""
+
+
+@register("backtest_metrics_naive_1h", _BACKTEST_SQL)
+def q_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline.backtest (reference base.py:690-1009): 3 rolling-origin
+    folds of the naive(24) model over the dense hourly series, per-(fold,
+    series) MAE/MSE. With seasonality ≥ horizon the fold forecasts are
+    pure time lags, and |residual| sums over integer cents are exact — the
+    oracle replays fold slicing + metrics as window SQL."""
+    from etna_spark.plans.pipeline import Pipeline, naive_model
+    from etna_spark.registry_ops5 import _dense_1h
+
+    dense = _dense_1h(spark, sf_dir)
+    p = Pipeline(
+        model=naive_model(24), horizon=6, step_seconds=3600,
+        in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+    )
+    out = p.backtest(dense, metrics=("mae", "mse"), n_folds=3)
+    return out.select(
+        "event_type", F.col("fold").cast("int").alias("fold"),
+        F.round("mae", 6).alias("mae"),
+        F.round("mse", 6).alias("mse"),
+    )
