@@ -365,9 +365,12 @@ def q_clustering_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("clustering_assignments_1h", None)
 def q_clustering_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HierarchicalClustering end-to-end (reference hierarchical/base.py:
-    33-160): euclidean matrix → average-linkage agglomeration → labels +
-    per-cluster centroids count. Label order depends on merge tie-breaks →
-    rows-only; the grouping itself is pinned by tests/test_clustering.py."""
+    33-160) on the DTW metric: DTW matrix → average-linkage agglomeration
+    → labels + per-cluster DBA barycenter point counts (reference
+    dtw_distance.py:100-160). Label order depends on merge tie-breaks and
+    the DP is not SQL-expressible → rows-only; the grouping and the DBA
+    kernel are pinned against the reference algorithm in
+    tests/test_clustering.py."""
     from etna_spark.operators.clustering import HierarchicalClustering
 
     s = _events_1h(spark, sf_dir).select(
@@ -375,11 +378,11 @@ def q_clustering_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_cents").cast("double").alias("v"),
     )
     hc = HierarchicalClustering(
-        distance="euclidean", series_col="event_type",
+        distance="dtw", series_col="event_type",
         ts_col="bucket_ts", value_col="v",
     ).build_distance_matrix(s)
     labels = hc.fit_predict(n_clusters=2, linkage="average")
-    cent_n = hc.get_centroids().groupBy("cluster").agg(
+    cent_n = hc.get_centroids(method="dba", n_iters=3).groupBy("cluster").agg(
         F.count("*").alias("centroid_points")
     )
     return labels.join(cent_n, on="cluster").select(
