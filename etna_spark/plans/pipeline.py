@@ -393,9 +393,8 @@ class Pipeline:
             raise ValueError("Pipeline is not fitted!")
         model = self.model
         if hasattr(model, "kernel_ts"):
-            raise NotImplementedError(
-                "predict supports positional-context models "
-                "(SeasonalMovingAverage family) only"
+            return self._predict_calendar(
+                start_ts, end_ts, prediction_interval, quantiles, n_folds
             )
         in_col, ts_col = self.in_col, self.ts_col
         w, s = model.window, model.seasonality
@@ -437,6 +436,75 @@ class Pipeline:
                     "requires target to be filled!"
                 )
         result = result.filter(F.col(ts_col) <= F.lit(end_ts)).drop("_rn")
+        for t in reversed(self.transforms):
+            if hasattr(t, "inverse_transform"):
+                result = t.inverse_transform(result)
+        if prediction_interval:
+            result = self._add_forecast_borders(result, quantiles, n_folds)
+        return result
+
+    def _predict_calendar(
+        self, start_ts, end_ts, prediction_interval, quantiles, n_folds
+    ) -> DataFrame:
+        """In-sample predict for calendar-offset models (DeadlineMA;
+        reference models/deadline_ma.py:320-350): prediction[t] = mean of
+        the ACTUAL values at t − offset·j, j = 1..window, where offset is
+        an exact calendar month/year step. Spark's ``timestampadd`` clamps
+        month-ends exactly like pandas DateOffset, so each lag is one
+        equi-join of the train frame against its offset timestamps — w
+        small broadcast-or-shuffle joins, no pUDF. Rows with incomplete
+        context are excluded under the default ``start_ts`` and raise the
+        reference's NaN-context error for an explicit one."""
+        model = self.model
+        in_col, ts_col = self.in_col, self.ts_col
+        w = model.window
+        unit = "MONTH" if model.seasonality == "month" else "YEAR"
+        train = self._train.select(*self.series_cols, ts_col, in_col)
+        bounds = train.agg(
+            F.min(ts_col).alias("mn"), F.max(ts_col).alias("mx")
+        ).collect()[0]
+        if end_ts is None:
+            end_ts = bounds["mx"]
+        elif end_ts > bounds["mx"]:
+            raise ValueError(
+                "Value of end_timestamp is more than ending of dataset!"
+            )
+        if start_ts is not None and start_ts > end_ts:
+            raise ValueError(
+                "Value of end_timestamp is less than start_timestamp!"
+            )
+        base = train
+        lag_sum = None
+        for j in range(1, w + 1):
+            # the lookup key is derived from the PREDICTION timestamp
+            # (t − offset·j, clamped) — deriving it from the source side
+            # (u + offset·j) would miss clamped targets: Feb 28 + 1 month
+            # is Mar 28, so Mar 31's lag would never match
+            key = f"_k{j}"
+            lagged = train.select(
+                *self.series_cols,
+                F.col(ts_col).alias(key),
+                F.col(in_col).alias(f"_l{j}"),
+            )
+            base = base.withColumn(
+                key, F.expr(f"timestampadd({unit}, {-j}, {ts_col})")
+            ).join(lagged, on=[*self.series_cols, key], how="left").drop(key)
+            term = F.col(f"_l{j}")
+            lag_sum = term if lag_sum is None else lag_sum + term
+        preds = base.withColumn(in_col, lag_sum / F.lit(float(w)))
+        if start_ts is None:
+            result = preds.filter(F.col(in_col).isNotNull())
+        else:
+            result = preds.filter(F.col(ts_col) >= F.lit(start_ts))
+            short = result.filter(F.col(in_col).isNull()).limit(1).count()
+            if short:
+                raise ValueError(
+                    "There are NaNs in a target column, predict method "
+                    "requires target to be filled!"
+                )
+        result = result.filter(F.col(ts_col) <= F.lit(end_ts)).drop(
+            *[f"_l{j}" for j in range(1, w + 1)]
+        )
         for t in reversed(self.transforms):
             if hasattr(t, "inverse_transform"):
                 result = t.inverse_transform(result)

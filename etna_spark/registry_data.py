@@ -276,3 +276,35 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", k=3,
         threshold=0.05, max_bucket=64,
     )
+
+
+_FRAME_SAMPLE_SQL = """
+-- the synth media recipe re-derived arithmetically (multimodal.py:50-68):
+-- row i is a video iff i % 3 = 2, with duration_ms = 1000*(i % 30 + 1);
+-- sampling every 1000 ms yields i%30+1 frames ending at (i%30)*1000
+SELECT printf('media_%08d', i) AS media_id,
+       CAST(i % 30 + 1 AS BIGINT) AS n_frames,
+       CAST((i % 30) * 1000 AS BIGINT) AS last_ts_ms
+FROM (SELECT unnest(range(0, 90)) AS i)
+WHERE i % 3 = 2
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_SAMPLE_SQL)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (data/multimodal.py): synthesize the
+    deterministic media table (binary payloads + typed metadata), sample
+    video frames via the mapInPandas UDTF-like kernel (1 row → N frames,
+    Arrow batch streaming), aggregate per video. The oracle re-derives the
+    expected frame grid arithmetically from the synth recipe — the decode
+    stub stays honest, the Spark plumbing (schema, explode shape, metadata
+    NaN guards) is what's value-checked. Frame checksums are payload-
+    derived (not SQL-expressible) and pinned by pytest instead."""
+    from etna_spark.data.multimodal import frame_sample, synth_media_table
+
+    media = synth_media_table(spark, 90)
+    fs = frame_sample(media, every_ms=1000)
+    return fs.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_ts_ms"),
+    ).withColumn("n_frames", F.col("n_frames").cast("long"))

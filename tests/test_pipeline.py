@@ -138,3 +138,51 @@ def test_predict_insample_validations(spark):
     assert out.count() == 6  # 3 days x 2 series
     vals = _fc(out, "s1")
     np.testing.assert_allclose(vals, [(10 - 7) % 7, (11 - 7) % 7, (12 - 7) % 7])
+
+
+def test_predict_insample_deadline_calendar(spark):
+    """DeadlineMA in-sample predict (reference deadline_ma.py:320-350):
+    true-context calendar-offset means, month-end clamping included."""
+    import datetime as dt
+
+    import pytest
+
+    from etna_spark.plans.pipeline import DeadlineMovingAverageModel
+
+    # daily series over 4 months, value = day-of-span index
+    t0 = dt.datetime(2020, 1, 1)
+    n = 121  # 2020-01-01 .. 2020-04-30 (leap year)
+    df = spark.createDataFrame(
+        [("s", t0 + dt.timedelta(days=i), float(i)) for i in range(n)],
+        "series string, ts timestamp, value double",
+    )
+    p = Pipeline(
+        model=DeadlineMovingAverageModel(window=2, seasonality="month"),
+        horizon=5, step_seconds=86400,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    ).fit(df)
+    out = {r["ts"]: r["value"] for r in p.predict().collect()}
+    # reference semantics via pandas on the same series
+    import pandas as pd
+
+    ser = pd.Series(
+        [float(i) for i in range(n)],
+        index=pd.date_range(t0, periods=n, freq="D"),
+    )
+    off = pd.DateOffset(months=1)
+    expected = {}
+    for t in ser.index:
+        prevs = [t - off, t - off * 2]
+        if all(pv in ser.index for pv in prevs):
+            expected[t.to_pydatetime()] = float(
+                (ser.loc[prevs[0]] + ser.loc[prevs[1]]) / 2
+            )
+    assert out == expected
+    # the clamped case is inside the span: Mar 31 reads Feb 29 (leap clamp)
+    mar31 = dt.datetime(2020, 3, 31)
+    assert mar31 in out
+    feb29, jan31 = dt.datetime(2020, 2, 29), dt.datetime(2020, 1, 31)
+    assert out[mar31] == (ser.loc[feb29] + ser.loc[jan31]) / 2
+    # explicit too-early start raises the reference's NaN-context error
+    with pytest.raises(ValueError, match="NaNs in a target"):
+        p.predict(start_ts=t0 + dt.timedelta(days=3))
