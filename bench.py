@@ -84,6 +84,9 @@ def main() -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": mpb},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from etna_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)  # executor pUDF kernels import etna_spark
     _ensure_input(spark)
     # warm-up: executor threads + whole-stage-codegen JIT + page cache for the
     # input, so timings measure the workload, not first-job compilation

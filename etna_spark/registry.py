@@ -323,6 +323,7 @@ _WINDOW_ORDER = [
     # unrecorded in r02: north-rule infrastructure + §2.13 + newly-oracled
     # queries first
     "tier_refresh_incremental_1h",
+    "tier_retention_1m",
     "streaming_rollup_1m",
     "backtest_metrics_naive_1h",
     "ensemble_stacking_1h",
@@ -372,7 +373,6 @@ _WINDOW_ORDER = [
     "ann_cosine_ivf",
     "imputer_seasonal_autoregressive",
     "stl_detrend_1h",
-    "metrics_naive_1h",
 ]
 
 

@@ -189,3 +189,39 @@ def q_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mae", 6).alias("mae"),
         F.round("mse", 6).alias("mse"),
     )
+
+
+_RETENTION_SQL = _TOK_CTE + """
+SELECT source,
+       CAST(epoch(date_trunc('minute', event_ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS point_count,
+       CAST(sum(n_tok) AS BIGINT) AS value_sum
+FROM tok
+WHERE date_trunc('day', event_ts) >= DATE '2026-01-02'
+GROUP BY 1, 2
+"""
+
+
+@register("tier_retention_1m", _RETENTION_SQL)
+def q_tier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention (north rule; plans/tiers.py::expire): build the 1m tier,
+    expire partitions older than now − keep_days (partition-predicate
+    drop + snapshot expiry + compaction), return what survives. The
+    oracle recomputes the rollup restricted to the kept day range — green
+    means retention dropped exactly the victim partitions and nothing
+    else, and the surviving data is untouched."""
+    from etna_spark.plans.tiers import TierEngine
+
+    wh = _scratch(sf_dir, "retq")
+    tok = doc_token_table(spark, sf_dir)
+    eng = TierEngine(wh, series_cols=("source",), ts_col="event_ts",
+                     value_col="n_tok")
+    eng.input.append(tok)
+    eng.refresh(spark)
+    # tok spans 2026-01-01..03: keep_days=2 from the 04th drops the 01st
+    eng.expire("1m", keep_days=2, now_day="2026-01-04")
+    t = eng.tier_df(spark, "1m")
+    return t.select(
+        "source", epoch(), "point_count",
+        F.col("value_sum").cast("long").alias("value_sum"),
+    )
