@@ -225,3 +225,81 @@ def q_tier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", epoch(), "point_count",
         F.col("value_sum").cast("long").alias("value_sum"),
     )
+
+
+_SPLIT_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT max(bucket_ts) AS mx FROM agg)
+SELECT event_type,
+       CAST(sum(CASE WHEN bucket_ts <= b.mx - INTERVAL 12 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS train_rows,
+       CAST(sum(CASE WHEN bucket_ts > b.mx - INTERVAL 12 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS test_rows,
+       CAST(sum(CASE WHEN bucket_ts <= b.mx - INTERVAL 12 HOUR
+                     THEN vc ELSE 0 END) AS BIGINT) AS train_cents,
+       CAST(sum(CASE WHEN bucket_ts > b.mx - INTERVAL 12 HOUR
+                     THEN vc ELSE 0 END) AS BIGINT) AS test_cents
+FROM agg CROSS JOIN bounds b
+GROUP BY event_type
+"""
+
+
+@register("train_test_split_1h", _SPLIT_SQL)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train_test_split via test_size (reference TSDataset.train_test_split
+    6-way border logic): the last 12 hourly points become the test span.
+    Output = per-series row/value totals of both partitions — the oracle
+    recomputes the border arithmetic as interval SQL."""
+    from etna_spark.operators.splits import train_test_split
+    from etna_spark.registry_ops2 import _events_1h
+
+    s = _events_1h(spark, sf_dir)
+    train, test = train_test_split(
+        s, ts_col="bucket_ts", test_size=12, step_seconds=3600
+    )
+    tr = train.groupBy("event_type").agg(
+        F.count("*").alias("train_rows"),
+        F.sum("value_cents").alias("train_cents"),
+    )
+    te = test.groupBy("event_type").agg(
+        F.count("*").alias("test_rows"),
+        F.sum("value_cents").alias("test_cents"),
+    )
+    return tr.join(te, on="event_type").select(
+        "event_type", "train_rows", "test_rows", "train_cents", "test_cents"
+    )
+
+
+_MAKE_FUTURE_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT max(bucket_ts) AS mx FROM agg)
+SELECT et.event_type,
+       CAST(epoch(b.mx + INTERVAL 1 HOUR * j) AS BIGINT) AS bucket_ts,
+       CAST(NULL AS BIGINT) AS value_cents
+FROM (SELECT DISTINCT event_type FROM agg) et
+CROSS JOIN bounds b
+CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) s
+"""
+
+
+@register("make_future_grid_1h", _MAKE_FUTURE_SQL)
+def q_make_future(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_future (reference TSDataset.make_future): 8 future grid points
+    per series with null targets — the forecast-horizon spine every model
+    fills. The oracle regenerates the same grid arithmetically."""
+    from etna_spark.operators.splits import make_future
+    from etna_spark.registry_ops2 import _events_1h
+
+    s = _events_1h(spark, sf_dir)
+    fut = make_future(
+        s, future_steps=8, step_seconds=3600,
+        series_cols=("event_type",), ts_col="bucket_ts",
+        target_cols=("value_cents",),
+    )
+    return fut.select("event_type", epoch(), "value_cents")
