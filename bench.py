@@ -191,8 +191,11 @@ def main() -> None:
     )
 
     # -- 4. salted rollup on the skewed source keys ----------------------------
+    # fixed n_salt (not CPUS): the salt fan-out is part of the WORKLOAD —
+    # tying it to the core count would make the N-vs-4N scaling comparison
+    # run two different aggregations
     t0 = time.time()
-    rollup_salted(tt, "1h", n_salt=CPUS).agg(
+    rollup_salted(tt, "1h", n_salt=32).agg(
         F.sum("value_sum"), F.count("*")
     ).collect()
     queries["tok_salted_rollup"] = time.time() - t0
