@@ -126,6 +126,27 @@ def main() -> None:
         md.append(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | {sp:.2f}× | {eff:.3f} |")
     md += [
         "",
+        "## Protocol notes",
+        "",
+        "- Tier-sized stages (gap-fill, window features, gorilla, events "
+        "interp) are measured STEADY-STATE (second of two consecutive "
+        "runs; cold first-run times are in `queries_cold`): at bench "
+        "scale those stages run a few seconds, so one-time plan "
+        "optimization + whole-stage-codegen compilation (~2-4 s of "
+        "core-count-independent driver work) dominates a single shot and "
+        "masks operator scaling — the gap-fill chain measures 3.9× at 4× "
+        "cores steady-state vs 2.2× cold. A production refresh loop "
+        "re-executes the same compiled plan every interval, so "
+        "steady-state is the recurring cost. Input-sized stages (cascade, "
+        "salted rollup) are single-shot — compile time is negligible "
+        "against their scan.",
+        "- `events_rollup_interp` stays fixed-cost-bound (<1 s wall on the "
+        "small sf events table — nothing left to parallelize); its low "
+        "\"efficiency\" is a floor effect, not a plan defect. The same "
+        "operator chain at tier size is `tok_gapfill`.",
+        f"- The {args.rows:,}-row input keeps the LOW level ≥ 2 minutes so "
+        "per-job constants stay <3% of its wall.",
+        "",
         "## Storage codec",
         "",
         f"Gorilla: {hi['gorilla_bytes_per_point']:.2f} bytes/point on the 1m "
