@@ -162,18 +162,46 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 4,
+    max_bucket: int = 10000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
-    candidates (embedding-based near-dedup for training corpora)."""
-    sig = df.select(
-        id_col, vec_col, lsh_signature(F.col(vec_col), n_planes, dim).alias("_sig")
+    candidates (embedding-based near-dedup for training corpora).
+
+    Scale shape: ``n_tables`` independent plane sets (same rotation as
+    :func:`cosine_topk_lsh`) so a near-dup pair whose differing bits fall
+    inside one table's slice still collides in another; and a hot-bucket
+    cap — a degenerate signature bucket (mass of identical / near-zero
+    embeddings) would otherwise self-join quadratically, so buckets with
+    more than ``max_bucket`` members are dropped before the join (the
+    same guard ngram_jaccard_pairs applies to viral shingles)."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    tables = F.array(
+        *[
+            lsh_signature(F.col("_v"), n_planes, dim, plane_offset=t * n_planes)
+            for t in range(n_tables)
+        ]
     )
-    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_sig")
-    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_sig")
-    return (
-        a.join(b, on="_sig")
+    sig = base.select("_id", "_v", F.posexplode(tables).alias("_table", "_sig"))
+    bucket_sizes = sig.groupBy("_table", "_sig").agg(F.count("*").alias("_bs"))
+    capped = sig.join(
+        bucket_sizes.filter(F.col("_bs") <= max_bucket).select("_table", "_sig"),
+        on=["_table", "_sig"],
+    )
+    a = capped.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_table", "_sig"
+    )
+    b = capped.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_table", "_sig"
+    )
+    cand = (
+        a.join(b, on=["_table", "_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .select("id_a", "id_b", "_va", "_vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

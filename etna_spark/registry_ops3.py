@@ -380,18 +380,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_NEARDUP_SQL = f"""
 WITH sig AS (
-  SELECT vec_id, embedding,
+  SELECT e.vec_id, e.embedding, t.tbl,
     CAST(list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 4),
       p -> CASE WHEN list_reduce([0.0] || list_transform(range(1, 65),
              i -> CAST(embedding[i] AS DOUBLE)
-                  * {_LSH_W.format(q='p')}),
+                  * {_LSH_W.format(q='(t.tbl * 4 + p)')}),
              (acc, x) -> acc + x) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END),
       (acc, b) -> acc * 2 + b) AS BIGINT) AS sig
-  FROM embeddings
+  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 4)) AS tbl) t
+), capped AS (
+  SELECT * FROM sig
+  QUALIFY count(*) OVER (PARTITION BY tbl, sig) <= 1000
 ), cand AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          a.embedding AS va, b.embedding AS vb
-  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  FROM capped a JOIN capped b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
 ), scored AS (
   SELECT id_a, id_b,
     list_sum(list_transform(range(1, 65),
@@ -410,13 +414,17 @@ FROM scored WHERE sim >= 0.25
 @register("embedding_neardup_pairs", _EMB_NEARDUP_SQL)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (similarity.py:158): LSH-bucketed
-    candidates (one 4-plane table, arithmetic plane weights) + exact
-    rescore ≥ threshold — the embedding-based near-dedup for training
-    corpora, candidate set AND scores value-checked like ann_cosine_lsh."""
+    candidates (4 tables x 4 planes, arithmetic plane weights, hot-bucket
+    cap) + exact rescore ≥ threshold — the embedding-based near-dedup for
+    training corpora, candidate set AND scores value-checked like
+    ann_cosine_lsh; the cap (QUALIFY twin in SQL) guards the quadratic
+    degenerate-bucket self-join at scale."""
     from etna_spark.data.similarity import embedding_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = embedding_neardup_pairs(emb, threshold=0.25, n_planes=4, dim=64)
+    out = embedding_neardup_pairs(
+        emb, threshold=0.25, n_planes=4, dim=64, n_tables=4, max_bucket=1000
+    )
     return out.select(
         "id_a", "id_b", F.round("cosine_sim", 5).alias("cosine_sim")
     )

@@ -192,6 +192,55 @@ def test_embedding_neardup_pairs_runs(spark):
     assert out.count() >= 0  # random vectors: few/no pairs; plan must run
 
 
+def _planted_neardup_corpus(n_pairs: int, dim: int = 64):
+    """n_pairs (base, perturbed-twin) vector pairs; twins have cosine ≥ ~0.99,
+    unrelated bases are near-orthogonal at dim=64. Deterministic."""
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(n_pairs, dim))
+    twin = base + 0.05 * rng.normal(size=(n_pairs, dim))
+    rows = []
+    for i in range(n_pairs):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append((2 * i + 1, [float(x) for x in twin[i]]))
+    return rows
+
+
+def test_embedding_neardup_recall_vs_exact(spark):
+    """Default multi-table signatures must recover ≥95% of the true
+    cosine≥0.9 pairs (the exact set computed all-pairs in numpy)."""
+    rows = _planted_neardup_corpus(40)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mat = np.array([v for _, v in rows])
+    nrm = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(nrm, nrm)
+    exact = {
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if sims[i, j] >= 0.9
+    }
+    assert len(exact) >= 35  # the planted twins are real near-dups
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert got <= exact  # exact rescore: no false positives
+    assert len(got & exact) / len(exact) >= 0.95
+
+
+def test_embedding_neardup_hot_bucket_cap(spark):
+    """A degenerate mass of identical embeddings shares one signature per
+    table; the cap must drop those buckets instead of self-joining them
+    quadratically, while normal-sized buckets still produce pairs."""
+    same = [(i, [1.0] + [0.0] * 63) for i in range(300)]
+    normal = [(1000, [0.0] * 32 + [1.0] * 32), (1001, [0.0] * 32 + [1.0] * 32)]
+    emb = spark.createDataFrame(same + normal, "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs(emb, threshold=0.9, max_bucket=50).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1000, 1001) in pairs  # small bucket survives
+    assert all(a >= 1000 for a, _ in pairs)  # 300-clone bucket dropped entirely
+
+
 def test_multimodal_features(spark):
     media = synth_media_table(spark, 30)
     feats = extract_features(media, decode_stub="fake").collect()
