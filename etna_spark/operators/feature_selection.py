@@ -16,11 +16,14 @@ segment correlations) is one distributed aggregation; the greedy selection
 loop runs on the driver over tiny (n_features-sized) tables — top_k
 passes, each O(n_segments · n_remaining) correlation expressions.
 
-sklearn is unavailable: tree importances come from a from-scratch numpy
-Extra-Trees regressor (Geurts et al. 2006 — random split thresholds,
-variance-reduction importance), fitted on a seeded row sample capped at
-``max_rows`` (the reference trains a driver-side sklearn model on the full
-flattened frame, which is the same driver cliff uncapped)."""
+sklearn is unavailable: tree importances come from MLlib's distributed
+RandomForestRegressor by default (histogram splits over aggregated
+sufficient statistics — no driver fit, no row cap), with a from-scratch
+numpy Extra-Trees regressor (Geurts et al. 2006 — random split
+thresholds, variance-reduction importance) as the no-JVM-ML fallback on
+a seeded sample capped at ``max_rows`` (the reference trains a
+driver-side sklearn model on the full flattened frame, which is the same
+driver cliff uncapped)."""
 
 from __future__ import annotations
 
@@ -30,7 +33,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["relevance_table", "mrmr_select", "tree_importance_select"]
+__all__ = [
+    "relevance_table",
+    "mrmr_select",
+    "mrmr_select_exact",
+    "tree_importance_select",
+]
 
 
 def _safe_corr(a: F.Column, b: F.Column) -> F.Column:
@@ -130,6 +138,97 @@ def mrmr_select(
     return selected
 
 
+def mrmr_select_exact(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    target_col: str = "target",
+    top_k: int = 5,
+    series_cols: Sequence[str] = ("series",),
+    atol: float = 1e-10,
+) -> list[str]:
+    """Cross-engine-exact MRMR (same greedy semantics as :func:`mrmr_select`)
+    for INTEGER-valued inputs: every per-segment Pearson correlation comes
+    from BIGINT sufficient statistics (exact under any aggregation order),
+    and the closed-form float chain — n·sxy−sx·sy over √(n·sxx−sx²)·
+    √(n·syy−sy²), segment means accumulated in sorted-segment order — is
+    reproducible op-for-op in a DuckDB oracle.
+
+    Scale contract: ONE distributed aggregation computes all O(F²) pair
+    statistics (vs ``top_k`` sequential jobs in the float version); the
+    greedy loop then runs on a segments×pairs scalar table driver-side.
+    ANSI mode bounds the BIGINT products loudly (overflow raises rather
+    than silently corrupting)."""
+    import math
+
+    feature_cols = list(feature_cols)
+    if top_k >= len(feature_cols):
+        return feature_cols.copy()
+    cols = [target_col, *feature_cols]
+    aggs = [F.count("*").alias("_n")]
+    for i, c in enumerate(cols):
+        ci = F.col(c).cast("long")
+        aggs.append(F.sum(ci).alias(f"_s{i}"))
+        aggs.append(F.sum(ci * ci).alias(f"_q{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(
+                    F.col(cols[i]).cast("long") * F.col(cols[j]).cast("long")
+                ).alias(f"_x{i}_{j}")
+            )
+    rows = df.groupBy(*series_cols).agg(*aggs).collect()
+    rows.sort(key=lambda r: tuple(str(r[k]) for k in series_cols))
+
+    def corr_abs(r, i: int, j: int):
+        if i > j:
+            i, j = j, i
+        n = float(r["_n"])
+        sx, sy = float(r[f"_s{i}"]), float(r[f"_s{j}"])
+        sxx, syy = float(r[f"_q{i}"]), float(r[f"_q{j}"])
+        sxy = float(r[f"_x{i}_{j}"])
+        da = n * sxx - sx * sx
+        db = n * syy - sy * sy
+        if not (da > 0 and db > 0):
+            return None
+        return abs((n * sxy - sx * sy) / (math.sqrt(da) * math.sqrt(db)))
+
+    def pair_mean(i: int, j: int):
+        acc, cnt = 0.0, 0
+        for r in rows:  # sorted-segment order = the oracle's list() order
+            v = corr_abs(r, i, j)
+            if v is not None:
+                acc += v
+                cnt += 1
+        return None if cnt == 0 else acc / float(cnt)
+
+    relevance = {}
+    for fi, c in enumerate(feature_cols, start=1):
+        m = pair_mean(0, fi)
+        relevance[c] = 0.0 if m is None else m
+
+    selected: list[str] = []
+    not_selected = feature_cols.copy()
+    max_red = {c: 0.0 for c in feature_cols}
+    for _ in range(top_k):
+        if selected:
+            last_i = cols.index(selected[-1])
+            for c in not_selected:
+                m = pair_mean(cols.index(c), last_i)
+                red = 1.0 if m is None else (m if m > atol else atol)
+                if red > max_red[c]:
+                    max_red[c] = red
+        best = max(
+            not_selected,
+            key=lambda c: (
+                relevance[c] * (1.0 - max_red[c]),
+                -feature_cols.index(c),
+            ),
+        )
+        selected.append(best)
+        not_selected.remove(best)
+    return selected
+
+
 # ---------------------------------------------------------------------------
 # numpy Extra-Trees importance
 # ---------------------------------------------------------------------------
@@ -199,11 +298,39 @@ def tree_importance_select(
     max_depth: int = 8,
     max_rows: int = 100_000,
     seed: int = 0,
+    backend: str = "mllib",
 ) -> list[str]:
-    """Top-k features by Extra-Trees variance-reduction importance, fitted
-    on a seeded sample of at most ``max_rows`` rows (deterministic)."""
+    """Top-k features by tree-ensemble variance-reduction importance
+    (reference TreeFeatureSelectionTransform, feature_importance.py:36).
+
+    Default backend ``"mllib"`` fits a RandomForestRegressor on the FULL
+    frame — histogram-based split finding from aggregated sufficient
+    statistics, no toPandas, no row cap; the fit scales with the cluster
+    (the same treatment VotingEnsemble's auto-weight fit gets,
+    plans/ensembles.py:107-124). ``backend="numpy"`` is the no-JVM-ML
+    fallback: the in-process Extra-Trees kernel on a seeded sample of at
+    most ``max_rows`` rows (deterministic)."""
     feature_cols = list(feature_cols)
     base = df.select(target_col, *feature_cols).dropna()
+    if backend == "mllib":
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.regression import RandomForestRegressor
+
+        casted = base.select(
+            *[F.col(c).cast("double").alias(c) for c in [target_col, *feature_cols]]
+        )
+        if casted.rdd.isEmpty():
+            return feature_cols[:top_k]
+        feat = VectorAssembler(
+            inputCols=feature_cols, outputCol="_features"
+        ).transform(casted)
+        model = RandomForestRegressor(
+            featuresCol="_features", labelCol=target_col,
+            numTrees=n_estimators, maxDepth=max_depth, seed=seed,
+        ).fit(feat)
+        imp = model.featureImportances.toArray()
+        order = np.argsort(-imp)[:top_k]
+        return [feature_cols[i] for i in order]
     n = base.count()
     if n > max_rows:
         base = base.sample(fraction=max_rows / n, seed=seed)

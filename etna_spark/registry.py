@@ -320,8 +320,17 @@ def _with_shipping(fn: SparkQuery) -> SparkQuery:
 # north-rule / data-ops entries; everything else follows in registration
 # order and stays runnable (recorded green in CORRECTNESS_r02).
 _WINDOW_ORDER = [
-    # unrecorded in r02: north-rule infrastructure + §2.13 + newly-oracled
-    # queries first
+    # rotation policy: queries with the fewest recorded CORRECTNESS rows go
+    # first so every oracle eventually lands in the driver's window. Round 4
+    # front-loads the four r3-new oracles that had never been recorded and
+    # retires four thrice-recorded rows subsumed by siblings
+    # (events_rollup_1h / events_gapfill_ffill_1m by the interp + tok-ffill
+    # chains, ann_cosine_topk by the lsh/ivf exact rescores, text_stats by
+    # lang_id + the dedup family on the same table).
+    "embedding_neardup_pairs",
+    "multimodal_frame_sample",
+    "train_test_split_1h",
+    "make_future_grid_1h",
     "tier_refresh_incremental_1h",
     "tier_retention_1m",
     "streaming_rollup_1m",
@@ -358,17 +367,13 @@ _WINDOW_ORDER = [
     "tok_rollup_1h_salted",
     "tok_gapfill_ffill_1m",
     "gorilla_roundtrip",
-    "events_rollup_1h",
-    "events_gapfill_ffill_1m",
     "events_gapfill_interp_1m",
-    "text_stats",
     "lang_id",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_connected_components",
-    "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",
     "imputer_seasonal_autoregressive",

@@ -331,31 +331,119 @@ def q_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(n_itv, on="event_type")
 
 
-@register("feature_selection_mrmr", None)
-def q_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MRMR feature selection (reference mrmr_selection.py:33): selection
-    over hourly event features (lags + calendar). Pearson correlations are
-    aggregation-order-sensitive across engines → rows-only; semantics pinned
-    by tests/test_feature_selection.py. Returns (rank, feature)."""
-    from etna_spark.operators.feature_selection import mrmr_select
+_MRMR_FEATURES = [
+    "lag_1", "lag_2", "lag_24", "hour_of_day", "day_of_week",
+    "constant_feature",
+]
 
-    s = _events_1h(spark, sf_dir).withColumn(
-        "v", F.col("value_cents").cast("double")
-    )
+# UNPIVOT arms: one long-form row per (segment, rn, column) so every pair's
+# sufficient statistics come from one aligned self-join
+_MRMR_LONG = "\n  UNION ALL ".join(
+    f"SELECT event_type, rn, '{c}' AS col, {c} AS v FROM ok"
+    for c in ["__t", *_MRMR_FEATURES]
+)
+_MRMR_IDX = ", ".join(
+    f"('{c}', {i})" for i, c in enumerate(_MRMR_FEATURES)
+)
+
+# greedy MRMR, k=3 unrolled: pick argmax relevance·(1 − max clipped
+# redundancy vs picks-so-far); float chain mirrors mrmr_select_exact
+_MRMR_SQL = _H_SERIES + f"""
+, base AS (
+  SELECT event_type,
+         row_number() OVER w AS rn,
+         value_cents AS __t,
+         lag(value_cents, 1) OVER w AS lag_1,
+         lag(value_cents, 2) OVER w AS lag_2,
+         lag(value_cents, 24) OVER w AS lag_24,
+         CAST(hour(bucket_ts) AS BIGINT) AS hour_of_day,
+         CAST(dayofweek(bucket_ts) + 1 AS BIGINT) AS day_of_week,
+         CAST(1 AS BIGINT) AS constant_feature
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), ok AS (
+  SELECT * FROM base
+  WHERE lag_1 IS NOT NULL AND lag_2 IS NOT NULL AND lag_24 IS NOT NULL
+), long AS (
+  {_MRMR_LONG}
+), pairs AS (
+  SELECT a.event_type, a.col AS c1, b.col AS c2,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(a.v) AS DOUBLE) AS sx, CAST(sum(b.v) AS DOUBLE) AS sy,
+         CAST(sum(a.v * b.v) AS DOUBLE) AS sxy,
+         CAST(sum(a.v * a.v) AS DOUBLE) AS sxx,
+         CAST(sum(b.v * b.v) AS DOUBLE) AS syy
+  FROM long a
+  JOIN long b ON a.event_type = b.event_type AND a.rn = b.rn
+             AND a.col <> b.col
+  GROUP BY 1, 2, 3
+), corrs AS (
+  SELECT event_type, c1, c2,
+    CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         THEN abs((n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+         ELSE NULL END AS r
+  FROM pairs
+), mcorr AS (
+  SELECT c1, c2,
+    list_reduce([0.0] || list(r ORDER BY event_type), (a, x) -> a + x)
+      / CAST(count(*) AS DOUBLE) AS m
+  FROM corrs WHERE r IS NOT NULL GROUP BY c1, c2
+), rel AS (
+  SELECT f.name AS f, f.idx, coalesce(m.m, 0.0) AS rel
+  FROM (VALUES {_MRMR_IDX}) f(name, idx)
+  LEFT JOIN mcorr m ON m.c1 = f.name AND m.c2 = '__t'
+), p1 AS (
+  SELECT f, idx FROM rel ORDER BY rel DESC, idx LIMIT 1
+), s2 AS (
+  SELECT r.f, r.idx,
+    r.rel * (1.0 - greatest(coalesce(m.m, 1.0), 1e-10)) AS s
+  FROM rel r
+  LEFT JOIN mcorr m ON m.c1 = r.f AND m.c2 = (SELECT f FROM p1)
+  WHERE r.f <> (SELECT f FROM p1)
+), p2 AS (
+  SELECT f, idx FROM s2 ORDER BY s DESC, idx LIMIT 1
+), s3 AS (
+  SELECT r.f, r.idx,
+    r.rel * (1.0 - greatest(greatest(coalesce(m1.m, 1.0), 1e-10),
+                            greatest(coalesce(m2.m, 1.0), 1e-10))) AS s
+  FROM rel r
+  LEFT JOIN mcorr m1 ON m1.c1 = r.f AND m1.c2 = (SELECT f FROM p1)
+  LEFT JOIN mcorr m2 ON m2.c1 = r.f AND m2.c2 = (SELECT f FROM p2)
+  WHERE r.f <> (SELECT f FROM p1) AND r.f <> (SELECT f FROM p2)
+), p3 AS (
+  SELECT f, idx FROM s3 ORDER BY s DESC, idx LIMIT 1
+)
+SELECT CAST(0 AS INTEGER) AS rank, f AS feature FROM p1
+UNION ALL SELECT CAST(1 AS INTEGER), f FROM p2
+UNION ALL SELECT CAST(2 AS INTEGER), f FROM p3
+"""
+
+
+@register("feature_selection_mrmr", _MRMR_SQL)
+def q_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRMR feature selection (reference mrmr_selection.py:33) over hourly
+    event features (lags + calendar), in the cross-engine-exact mode:
+    integer sufficient statistics → closed-form per-segment correlations →
+    sorted-segment sequential means → greedy argmax (k=3 unrolled as nested
+    CTE steps in the oracle). Returns (rank, feature) — the selection ORDER
+    is value-checked, not just the set."""
+    from etna_spark.operators.feature_selection import mrmr_select_exact
+
+    s = _events_1h(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    v = F.col("value_cents")
     feats = s.select(
-        "event_type", "bucket_ts", F.col("v").alias("target"),
-        F.lag("v", 1).over(w).alias("lag_1"),
-        F.lag("v", 2).over(w).alias("lag_2"),
-        F.lag("v", 24).over(w).alias("lag_24"),
-        F.hour("bucket_ts").cast("double").alias("hour_of_day"),
-        F.dayofweek("bucket_ts").cast("double").alias("day_of_week"),
-        (F.hour("bucket_ts") * 0.0 + 1.0).alias("constant_feature"),
+        "event_type", "bucket_ts", v.alias("target"),
+        F.lag(v, 1).over(w).alias("lag_1"),
+        F.lag(v, 2).over(w).alias("lag_2"),
+        F.lag(v, 24).over(w).alias("lag_24"),
+        F.hour("bucket_ts").cast("long").alias("hour_of_day"),
+        F.dayofweek("bucket_ts").cast("long").alias("day_of_week"),
+        F.lit(1).cast("long").alias("constant_feature"),
     ).dropna()
-    sel = mrmr_select(
-        feats, ["lag_1", "lag_2", "lag_24", "hour_of_day", "day_of_week",
-                "constant_feature"],
-        "target", top_k=3, series_cols=("event_type",),
+    sel = mrmr_select_exact(
+        feats, _MRMR_FEATURES, "target", top_k=3, series_cols=("event_type",),
     )
     return spark.createDataFrame(
         [(i, f) for i, f in enumerate(sel)], "rank int, feature string"

@@ -83,6 +83,31 @@ def test_mrmr_deterministic(spark, regressors_df):
     assert a == b
 
 
+def test_mrmr_exact_matches_float_semantics(spark, regressors_df):
+    """The integer-stat exact variant must make the same picks as the float
+    version on integer-valued input (identical greedy semantics)."""
+    from pyspark.sql import functions as F
+
+    from etna_spark.operators.feature_selection import mrmr_select_exact
+
+    ints = regressors_df.select(
+        "series",
+        *[
+            F.round(F.col(c) * 100, 0).cast("long").alias(c)
+            for c in ["target", *FEATURES]
+        ],
+    ).cache()
+    exact = mrmr_select_exact(ints, FEATURES, "target", top_k=3,
+                              series_cols=("series",))
+    flt = mrmr_select(ints, FEATURES, "target", top_k=3,
+                      series_cols=("series",))
+    assert exact == flt
+    assert exact[0] in ("useful_0", "dup")
+    # exact top_k >= n_features passthrough
+    assert mrmr_select_exact(ints, FEATURES, "target", top_k=10,
+                             series_cols=("series",)) == FEATURES
+
+
 def test_extra_trees_importance_numpy():
     rng = np.random.default_rng(1)
     n = 3000
@@ -98,6 +123,14 @@ def test_extra_trees_importance_numpy():
 def test_tree_importance_select_spark(spark, regressors_df):
     sel = tree_importance_select(
         regressors_df, FEATURES, "target", top_k=2, n_estimators=30, seed=0,
+    )
+    assert set(sel) <= {"useful_0", "useful_1", "dup"}
+
+
+def test_tree_importance_numpy_fallback(spark, regressors_df):
+    sel = tree_importance_select(
+        regressors_df, FEATURES, "target", top_k=2, n_estimators=30, seed=0,
+        backend="numpy",
     )
     assert set(sel) <= {"useful_0", "useful_1", "dup"}
 
