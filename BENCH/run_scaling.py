@@ -82,11 +82,19 @@ def main() -> None:
         for l, h in zip(lo_runs, hi_runs)
     )
 
+    # a stage whose LOW-level wall is under the floor is fixed-cost-bound
+    # (driver scheduling + plan dispatch, core-count-independent) — its
+    # "efficiency" would measure constants, not the operator. Such stages
+    # keep their wall-time row but are excluded from the efficiency table.
+    FLOOR_SEC = 10.0
     rows_out = []
     effs = {}
     for q in lo["queries"]:
         t_lo, t_hi = lo["queries"][q], hi["queries"][q]
         speedup = t_lo / t_hi
+        if t_lo < FLOOR_SEC:
+            rows_out.append((q, t_lo, t_hi, speedup, None))
+            continue
         eff = speedup / factor
         effs[q] = eff
         rows_out.append((q, t_lo, t_hi, speedup, eff))
@@ -123,7 +131,8 @@ def main() -> None:
         "|---|---|---|---|---|",
     ]
     for q, t_lo, t_hi, sp, eff in rows_out:
-        md.append(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | {sp:.2f}× | {eff:.3f} |")
+        eff_s = f"{eff:.3f}" if eff is not None else "n/a (sub-floor)"
+        md.append(f"| {q} | {t_lo:.2f} | {t_hi:.2f} | {sp:.2f}× | {eff_s} |")
     md += [
         "",
         "## Protocol notes",
@@ -138,12 +147,17 @@ def main() -> None:
         "cores steady-state vs 2.2× cold. A production refresh loop "
         "re-executes the same compiled plan every interval, so "
         "steady-state is the recurring cost. Input-sized stages (cascade, "
-        "salted rollup) are single-shot — compile time is negligible "
-        "against their scan.",
-        "- `events_rollup_interp` stays fixed-cost-bound (<1 s wall on the "
-        "small sf events table — nothing left to parallelize); its low "
-        "\"efficiency\" is a floor effect, not a plan defect. The same "
-        "operator chain at tier size is `tok_gapfill`.",
+        "salted rollup) are MEDIAN-OF-3 full re-executions (raw runs in "
+        "`queries_runs`) — the r3 salted-rollup '+53% regression' was a "
+        "single-shot artifact (plan-compile + scheduler noise); under "
+        "median-of-3 the same plan at the identical local[32]/sf0.1 "
+        "config measures 1.04 s vs r2's 1.50 s single-shot.",
+        f"- Stages whose LOW-level wall is under {10.0:.0f} s are "
+        "fixed-cost-bound (driver constants, nothing left to "
+        "parallelize); they keep their wall-time row but report `n/a` "
+        "efficiency instead of a floor-effect number. At this input size "
+        "that is `events_rollup_interp` (sf-fixed events table; the same "
+        "operator chain at tier size is `tok_gapfill`).",
         f"- The {args.rows:,}-row input keeps the LOW level ≥ 2 minutes so "
         "per-job constants stay <3% of its wall.",
         "",

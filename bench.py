@@ -1,9 +1,14 @@
 """Benchmark harness: headline engine workloads at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
-{"metric": "e2e_bench_sec", "value": <total sec>, "unit": "sec",
+{"metric": "e2e_steady_sec", "value": <total sec>, "unit": "sec",
  "queries": {...per-query sec...}, "sf": ...,
  "rollup_points": N, "raw_rows_per_sec": N, "cpus": N}
+
+Timing protocol (see timed_steady / timed_median3): tier-sized stages
+report the second of two consecutive runs (cold times in queries_cold);
+input-sized stages report the median of three runs (all runs in
+queries_runs). The headline is the sum of the reported per-query times.
 
 Workload: the north-rule pipeline over the deterministic synthetic token
 table (FIXTURES.md §A recipe; 64 zipf-skewed sources over a 7-day window) —
@@ -127,6 +132,7 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     queries_cold: dict[str, float] = {}
+    queries_runs: dict[str, list[float]] = {}
     t_all = time.time()
 
     def timed_steady(name: str, action) -> None:
@@ -146,19 +152,46 @@ def main() -> None:
         action()
         queries[name] = time.time() - t0
 
+    def timed_median3(name: str, action) -> None:
+        """Input-sized stages are measured MEDIAN-OF-3: each run scans the
+        full input (nothing cached between runs), so repeats are the same
+        workload and the median suppresses one-off scheduler/GC noise that
+        a single shot can't distinguish from a real regression (the r3
+        salted-rollup +53% blip was exactly that ambiguity). All three raw
+        times are published in ``queries_runs``."""
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            action()
+            runs.append(time.time() - t0)
+        queries_runs[name] = [round(v, 3) for v in runs]
+        queries[name] = sorted(runs)[1]
+
     # -- 1. token tier cascade (headline) -------------------------------------
-    t0 = time.time()
     series = ("source", "bkt")
-    # explicit N pins the cached tier's partitioning (AQE would coalesce the
-    # small shuffle and serialize every downstream window/pUDF stage)
-    r1m = rollup(tt, "1m", series_cols=series).repartition(CPUS * 2, *series).cache()
-    n_1m = r1m.count()
-    r1h = rollup_cascade(r1m, "1h", series_cols=series).cache()
-    n_1h = r1h.count()
-    r1d = rollup_cascade(r1h, "1d", series_cols=series)
-    n_1d = r1d.count()
-    queries["tok_tiers_cascade"] = time.time() - t0
-    rollup_points = n_1m + n_1h + n_1d
+    tiers_box: dict = {}
+
+    def run_cascade() -> None:
+        # rebuild from the input scan each run (cache is dropped first so
+        # repeats measure the full materialization, not a cache read)
+        for c in ("r1m", "r1h"):
+            if c in tiers_box:
+                tiers_box[c].unpersist()
+        # explicit N pins the cached tier's partitioning (AQE would coalesce
+        # the small shuffle and serialize downstream window/pUDF stages)
+        r1m = rollup(tt, "1m", series_cols=series).repartition(
+            CPUS * 2, *series
+        ).cache()
+        n_1m = r1m.count()
+        r1h = rollup_cascade(r1m, "1h", series_cols=series).cache()
+        n_1h = r1h.count()
+        r1d = rollup_cascade(r1h, "1d", series_cols=series)
+        n_1d = r1d.count()
+        tiers_box.update(r1m=r1m, r1h=r1h, points=n_1m + n_1h + n_1d)
+
+    timed_median3("tok_tiers_cascade", run_cascade)
+    r1m = tiers_box["r1m"]  # last run's cached tiers feed the later stages
+    rollup_points = tiers_box["points"]
 
     # -- 2. gap-fill (spine + ffill + interpolation) ---------------------------
     reg = regularize(r1m, "1m", series_cols=series)
@@ -194,11 +227,11 @@ def main() -> None:
     # fixed n_salt (not CPUS): the salt fan-out is part of the WORKLOAD —
     # tying it to the core count would make the N-vs-4N scaling comparison
     # run two different aggregations
-    t0 = time.time()
-    rollup_salted(tt, "1h", n_salt=32).agg(
-        F.sum("value_sum"), F.count("*")
-    ).collect()
-    queries["tok_salted_rollup"] = time.time() - t0
+    salted = rollup_salted(tt, "1h", n_salt=32)
+    timed_median3(
+        "tok_salted_rollup",
+        lambda: salted.agg(F.sum("value_sum"), F.count("*")).collect(),
+    )
 
     # -- 5. Gorilla encode of the 1m tier --------------------------------------
     # chunk="week": ~10k points per blob on a 1m tier — the point-count
@@ -236,18 +269,22 @@ def main() -> None:
     )
 
     wall = time.time() - t_all
-    # headline value = Σ reported per-query times (steady-state for the
-    # tier-sized stages — see timed_steady); wall_sec additionally counts
-    # the cold warm-up executions
+    # headline value = Σ reported per-query times: STEADY-STATE for the
+    # tier-sized stages (timed_steady) and MEDIAN-OF-3 for the input-sized
+    # stages (timed_median3). The metric is named for that protocol —
+    # r1/r2's "e2e_bench_sec" was single-shot-cold per stage, so comparing
+    # across the rename is protocol-aware by construction (ADVICE r3).
+    # wall_sec counts everything including warm-up/repeat executions.
     total = sum(queries.values())
     tiers_sec = queries["tok_tiers_cascade"]
     result = {
-        "metric": "e2e_bench_sec",
+        "metric": "e2e_steady_sec",
         "value": round(total, 3),
         "unit": "sec",
         "wall_sec": round(wall, 3),
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "queries_cold": queries_cold,
+        "queries_runs": queries_runs,
         "sf": sf,
         "cpus": CPUS,
         "bench_rows": N_TOKENS,
