@@ -117,13 +117,39 @@ def regularize(
         bounds = tier_df.agg(
             F.min(ts_col).alias("_mn"), F.max(ts_col).alias("_mx")
         )
+        # bucketed-input contract, enforced: every timestamp must sit on
+        # the step grid anchored at the global min — otherwise the value
+        # mask (_sts == _orig) would silently DROP the unaligned
+        # observations (the old spine left-join preserved them). The
+        # assert rides inside the _start expression so column pruning
+        # can't elide it; per-row pmod is JVM-side and negligible.
+        aligned = (
+            F.pmod(
+                F.col(ts_col).cast("long") - F.col("_mn").cast("long"),
+                F.lit(step_seconds),
+            )
+            == 0
+        )
+        start_expr = F.when(F.col("_rn") == 1, F.col("_mn")).otherwise(
+            F.col(ts_col)
+        )
         base = (
             base.crossJoin(F.broadcast(bounds))
             .withColumn("_rn", F.row_number().over(w))
             .withColumn(
                 "_start",
-                F.when(F.col("_rn") == 1, F.col("_mn"))
-                .otherwise(F.col(ts_col)),
+                F.when(
+                    F.assert_true(
+                        aligned,
+                        F.lit(
+                            "regularize: input timestamps are not aligned "
+                            f"to the {tier} grid anchored at the global "
+                            "min — bucket the input (date_trunc) first; "
+                            "unaligned rows would be silently dropped"
+                        ),
+                    ).isNull(),
+                    start_expr,
+                ),
             )
             .withColumn(
                 "_end",

@@ -260,7 +260,22 @@ class StackingEnsemble:
             for j in range(i, k + 1):
                 exprs.append(F.sum(q[i] * q[j]).alias(f"_a_{i}_{j}"))
             exprs.append(F.sum(q[i] * y2).alias(f"_b_{i}"))
+        # integrality validation in the SAME pass: if any ×2-scaled value
+        # is not integral, the round() would silently perturb the normal
+        # equations — fail loudly instead of returning wrong coefficients
+        half_cols = [F.col(f"_p{i}") for i in range(k)] + [F.col(base.in_col)]
+        exprs.append(
+            F.max(F.greatest(*[
+                F.abs(c * 2 - F.round(c * 2, 0)) for c in half_cols
+            ])).alias("_dev")
+        )
         row = joined.agg(*exprs).collect()[0]
+        if row["_dev"] is not None and row["_dev"] != 0.0:
+            raise ValueError(
+                "solver='cramer' requires integer/half-integer base "
+                f"forecasts and targets (max ×2-scale deviation "
+                f"{row['_dev']!r}) — use solver='lstsq'."
+            )
         if row["_a_0_0"] is None:
             raise ValueError(
                 "There aren't enough overlapping historical forecasts to "

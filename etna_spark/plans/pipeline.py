@@ -427,15 +427,22 @@ class Pipeline:
             result = preds.filter(F.col("_rn") > w * s)
         else:
             result = preds.filter(F.col(ts_col) >= F.lit(start_ts))
-            short = result.filter(
-                F.col(in_col).isNull() & (F.col("_rn") <= w * s)
-            ).limit(1).count()
-            if short:
-                raise ValueError(
-                    "There are NaNs in a target column, predict method "
-                    "requires target to be filled!"
-                )
-        result = result.filter(F.col(ts_col) <= F.lit(end_ts)).drop("_rn")
+        result = result.filter(F.col(ts_col) <= F.lit(end_ts))
+        # NaN-context guard over the WHOLE selected range: a NULL/NaN
+        # target anywhere in the context of a selected row (warm-up span
+        # for explicit starts, or a mid-train gap) nulls its lag_sum — the
+        # reference raises for any NaN context (base.py:590-656), so any
+        # NULL/NaN prediction in range raises rather than silently passing
+        # through
+        short = result.filter(
+            F.col(in_col).isNull() | F.isnan(in_col)
+        ).limit(1).count()
+        if short:
+            raise ValueError(
+                "There are NaNs in a target column, predict method "
+                "requires target to be filled!"
+            )
+        result = result.drop("_rn")
         for t in reversed(self.transforms):
             if hasattr(t, "inverse_transform"):
                 result = t.inverse_transform(result)

@@ -257,6 +257,28 @@ def test_stacking_cramer_matches_lstsq(spark, weekly_df):
         ).fit(weekly_df)
 
 
+def test_stacking_cramer_rejects_non_half_integer(spark):
+    """Non-half-integer base forecasts would be silently perturbed by the
+    ×2 rounding — the solver must detect the deviation and point the caller
+    at lstsq instead of returning wrong coefficients."""
+    from etna_spark.plans.ensembles import StackingEnsemble
+
+    # window=4 SMA produces quarter-integer means (sum of 4 ints / 4):
+    # ×2-scaled values are not integral
+    rows = [
+        (s, START + dt.timedelta(days=i), float((i % 7) + (i * i % 11)))
+        for s in ("a", "b") for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    ens = StackingEnsemble(
+        [_pipe(naive_model(7)),
+         _pipe(SeasonalMovingAverageModel(window=4, seasonality=7))],
+        n_folds=3, solver="cramer",
+    )
+    with pytest.raises(ValueError, match="lstsq"):
+        ens.fit(df)
+
+
 def test_stacking_validations(spark, weekly_df):
     from etna_spark.plans.ensembles import StackingEnsemble
 

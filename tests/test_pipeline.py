@@ -140,6 +140,25 @@ def test_predict_insample_validations(spark):
     np.testing.assert_allclose(vals, [(10 - 7) % 7, (11 - 7) % 7, (12 - 7) % 7])
 
 
+def test_predict_insample_midtrain_nan_raises(spark):
+    """A NULL target in the MIDDLE of the train span nulls the context of a
+    selected row — must raise the reference's NaN-context error even under
+    the default start_ts, not silently return a NULL prediction."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = _panel(spark).withColumn(
+        "value",
+        F.when(F.col("ts") == dt.datetime(2020, 1, 16), None).otherwise(
+            F.col("value")
+        ),
+    )
+    p = Pipeline(model=naive_model(7), horizon=5, in_col="value",
+                 series_cols=("series",), ts_col="ts").fit(df)
+    with pytest.raises(ValueError, match="NaNs in a target"):
+        p.predict()
+
+
 def test_predict_insample_deadline_calendar(spark):
     """DeadlineMA in-sample predict (reference deadline_ma.py:320-350):
     true-context calendar-offset means, month-end clamping included."""

@@ -87,6 +87,23 @@ def test_gap_expansion_plan_has_no_join(spark):
     assert p2.count("hashpartitioning") == 1
 
 
+def test_regularize_unaligned_input_raises(spark):
+    """An observation off the global-min-anchored grid must fail loudly —
+    the gap-expansion value mask would otherwise silently drop it (the old
+    spine left-join preserved such rows)."""
+    rows = [
+        ("s0", START, 1.0, 1),
+        # 30 minutes past the hour: not on the 1h grid anchored at START
+        ("s1", START + dt.timedelta(hours=2, minutes=30), 2.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, bucket_ts timestamp, v double, c int"
+    )
+    out = regularize(df, "1h", series_cols=("series",), ts_col="bucket_ts")
+    with pytest.raises(Exception, match="not aligned"):
+        out.collect()
+
+
 def test_regularize_grid_is_complete_and_step_exact(spark):
     df = _random_panel(spark, 5)
     step, _ = TIERS["1h"]
