@@ -43,6 +43,35 @@ def lag_transform(
     return df.withColumns(cols)
 
 
+class LagTransform:
+    """Stateless fit/transform wrapper around :func:`lag_transform` so lag
+    features compose in Pipeline transform chains and ``_target_`` configs
+    (reference transforms/math/lags.py LagTransform)."""
+
+    def __init__(
+        self,
+        in_col: str = "value",
+        lags: Sequence[int] | int = 1,
+        series_cols: Sequence[str] = ("series",),
+        ts_col: str = "ts",
+        out_prefix: str | None = None,
+    ):
+        self.in_col = in_col
+        self.lags = lags
+        self.series_cols = tuple(series_cols)
+        self.ts_col = ts_col
+        self.out_prefix = out_prefix
+
+    def fit(self, df: DataFrame) -> "LagTransform":
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return lag_transform(
+            df, self.in_col, self.lags, self.series_cols, self.ts_col,
+            self.out_prefix,
+        )
+
+
 def exog_shift(
     df: DataFrame,
     cols: Sequence[str],

@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("command", choices=["forecast", "backtest"])
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--config", default=None,
+                    help="YAML pipeline config (_target_ tree, reference "
+                         "forecast_command.py style) — overrides the "
+                         "--model/--window/... flags")
     ap.add_argument("--model", default="naive",
                     choices=["naive", "moving_average", "seasonal_ma",
                              "deadline_ma"])
@@ -76,7 +80,13 @@ def main() -> None:
 
     ensure_shipped(spark)  # model kernels import etna_spark on executors
     df = spark.read.parquet(args.input)
-    model = build_model(args)
+    if args.config:
+        from etna_spark.plans.config import load_pipeline
+
+        pipeline = load_pipeline(args.config)
+        model = pipeline.model
+    else:
+        model = build_model(args)
     if args.estimate_n_folds:
         from etna_spark.operators.splits import estimate_max_n_folds
 
@@ -91,14 +101,15 @@ def main() -> None:
                 step_seconds=args.step_seconds,
             ),
         )
-    pipeline = Pipeline(
-        model=model,
-        horizon=args.horizon,
-        step_seconds=args.step_seconds,
-        in_col=args.value_col,
-        series_cols=tuple(args.series_cols.split(",")),
-        ts_col=args.ts_col,
-    )
+    if not args.config:
+        pipeline = Pipeline(
+            model=model,
+            horizon=args.horizon,
+            step_seconds=args.step_seconds,
+            in_col=args.value_col,
+            series_cols=tuple(args.series_cols.split(",")),
+            ts_col=args.ts_col,
+        )
     if args.command == "forecast":
         pipeline.fit(df)
         out = pipeline.forecast(
@@ -114,7 +125,8 @@ def main() -> None:
     n = spark.read.parquet(args.output).count()
     print(json.dumps({
         "event": args.command, "rows": n, "output": args.output,
-        "model": args.model, "horizon": args.horizon,
+        "model": type(model).__name__ if args.config else args.model,
+        "horizon": pipeline.horizon,
     }))
     spark.stop()
 
