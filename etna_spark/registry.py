@@ -370,7 +370,9 @@ _WINDOW_ORDER = [
     "events_gapfill_interp_1m",
     "lang_id",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # r4-new multi-level hierarchy query takes dedup_ngram_jaccard's slot
+    # (thrice-recorded; minhash/simhash/exact/CC keep the family covered)
+    "hierarchy_structure_2hop",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_connected_components",

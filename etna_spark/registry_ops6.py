@@ -303,3 +303,84 @@ def q_make_future(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_cols=("value_cents",),
     )
     return fut.select("event_type", epoch(), "value_cents")
+
+
+_HIER_2HOP_SQL = """
+WITH cust_month AS (
+  SELECT o_custkey, CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)
+           AS month_ts,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT r.r_name AS region, month_ts, CAST(sum(cents) AS BIGINT) AS cents
+FROM cust_month
+JOIN customer c ON c.c_custkey = o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2
+"""
+
+
+@register("hierarchy_structure_2hop", _HIER_2HOP_SQL)
+def q_hierarchy_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class HierarchicalStructure (reference
+    hierarchical_structure.py:18-192; operators/hierarchy.py): the
+    4-level total→region→nation→customer tree is built from the TPC-H
+    dimensions (series-level METADATA, held driver-side exactly like the
+    reference's adjacency list + csr summing matrix), then the customer
+    panel rolls up TWO levels (customer → region) in ONE broadcast join —
+    the transitive summing matrix composed driver-side. Oracle recomputes
+    the same two hops as plain dimension joins."""
+    from etna_spark.operators.hierarchy import HierarchicalStructure
+    from etna_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    cn = customer.select("c_custkey", "c_nationkey").collect()
+    nr = {
+        r["n_nationkey"]: r["r_name"]
+        for r in nation.join(
+            region, nation["n_regionkey"] == region["r_regionkey"]
+        ).select("n_nationkey", "r_name").collect()
+    }
+    tree: dict[str, list[str]] = {"total": []}
+    for nk, rname in sorted(nr.items()):
+        tree.setdefault(rname, [])
+        if rname not in tree["total"]:
+            tree["total"].append(rname)
+        tree[rname].append(f"n{nk}")
+    for row in cn:
+        tree.setdefault(f"n{row['c_nationkey']}", []).append(
+            f"c{row['c_custkey']}"
+        )
+    # drop childless nations/regions (leaves must share one level)
+    for rname in list(tree):
+        if rname.startswith("n") and not tree[rname]:
+            del tree[rname]
+    for rname in list(tree["total"]):
+        tree[rname] = [n for n in tree[rname] if n in tree]
+        if not tree[rname]:
+            del tree[rname]
+            tree["total"].remove(rname)
+    h = HierarchicalStructure(
+        tree, ["total", "region", "nation", "customer"]
+    )
+    leaf = (
+        orders.withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        )
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("segment"),
+            F.date_trunc("month", "o_orderdate").cast("long").alias("month_ts"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    out = h.rollup(leaf, "customer", "region", ["cents"],
+                   segment_col="segment", ts_col="month_ts")
+    return out.select(
+        F.col("segment").alias("region"), "month_ts", "cents"
+    )
