@@ -266,23 +266,96 @@ def simhash_pairs(
     )
 
 
+def _cc_canon(e: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Canonical undirected edge set: (min, max) pairs, loops dropped."""
+    return (
+        e.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _cc_sym(canon: DataFrame) -> DataFrame:
+    """Symmetric directed view of a canonical edge set."""
+    return canon.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+
+
+def _cc_large_star(canon: DataFrame) -> DataFrame:
+    """large-star(u): connect every neighbor v > u to min(N(u) ∪ {u})."""
+    sym = _cc_sym(canon)
+    m = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+        "u", F.least(F.col("u"), F.col("_mn")).alias("_m")
+    )
+    out = (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, on="u")
+        .select(F.col("v").alias("a"), F.col("_m").alias("b"))
+    )
+    return _cc_canon(out)
+
+
+def _cc_small_star(canon: DataFrame) -> DataFrame:
+    """small-star(u): connect u and its smaller neighbors to their min."""
+    le = _cc_sym(canon).filter(F.col("v") < F.col("u"))
+    m = le.groupBy("u").agg(F.min("v").alias("_m"))
+    nb = le.join(m, on="u").select(
+        F.col("v").alias("a"), F.col("_m").alias("b")
+    )
+    own = m.select(F.col("u").alias("a"), F.col("_m").alias("b"))
+    return _cc_canon(nb.unionByName(own))
+
+
+def _cc_alternating(canon: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014): converges
+    in O(log² n) rounds INDEPENDENT of graph diameter — each round two
+    join+aggregate passes over the shrinking edge set. On convergence the
+    graph is a union of stars whose centers are the component minima."""
+    from etna_spark.plans.state import materialize
+
+    cur = materialize(canon)
+    for _ in range(max_iter):
+        new = materialize(_cc_small_star(_cc_large_star(cur)))
+        # set equality via anti-joins (count equality alone is fooled by
+        # swaps); both directions because contraction can add AND drop
+        grew = new.join(cur, on=["a", "b"], how="left_anti").limit(1).count()
+        shrank = cur.join(new, on=["a", "b"], how="left_anti").limit(1).count()
+        cur = new
+        if grew == 0 and shrank == 0:
+            sym = _cc_sym(cur)
+            return sym.groupBy("u").agg(
+                F.least(F.first("u"), F.min("v")).alias("component")
+            )
+    raise RuntimeError(
+        f"alternating connected_components did not converge in {max_iter} "
+        "rounds"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    switch_after: int = 10,
 ) -> DataFrame:
     """Connected components over an undirected edge list → (node, component)
     with component = min node id of the component.
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own and its neighbors' labels; converges in O(graph diameter)
-    rounds, each one equi-join + hash aggregate. Near-dup graphs are
-    shallow (clusters are cliques-ish), so a handful of rounds suffices; at
-    extreme scale swap in the large-star/small-star contraction (Kiveris et
-    al., "Connected Components in MapReduce and Beyond", SoCC 2014) — same
-    interface, fewer rounds on high-diameter graphs. Each round is
-    materialized so the plan never nests.
+    Two regimes behind one interface. Min-label propagation first: each
+    round every node takes the min of its own and its neighbors' labels —
+    one equi-join + hash aggregate per round, converging in O(diameter)
+    rounds, which is the cheap path for near-dup graphs (clusters are
+    cliques-ish, diameter a handful). If it hasn't converged after
+    ``switch_after`` rounds the graph is high-diameter, and the remaining
+    budget goes to the alternating large-star/small-star contraction
+    (Kiveris et al., SoCC 2014) whose round count is O(log² n) regardless
+    of diameter. Each round is materialized so the plan never nests.
 
     Only nodes that appear in ``edges`` are labeled (isolated docs are
     their own component trivially).
@@ -300,7 +373,7 @@ def connected_components(
     )
     labels = und.select("u").distinct().withColumn("component", F.col("u"))
     converged = False
-    for _ in range(max_iter):
+    for _ in range(min(switch_after, max_iter)):
         nb = (
             und.join(
                 labels.withColumnRenamed("u", "v").withColumnRenamed(
@@ -332,10 +405,10 @@ def connected_components(
             converged = True
             break
     if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"(graph diameter exceeds max_iter) — raise max_iter or switch "
-            f"to the large-star/small-star contraction"
+        # high-diameter graph: hand the remaining round budget to the
+        # diameter-independent contraction
+        return _cc_alternating(
+            _cc_canon(und, "u", "v"), max_iter - min(switch_after, max_iter)
         )
     return labels
 

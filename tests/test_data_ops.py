@@ -312,3 +312,45 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_connected_components_path_graph_contraction(spark):
+    """A 60-node path (diameter 59) exceeds the label-propagation round
+    budget; the alternating large-star/small-star contraction must take
+    over and converge within the same total budget (its round count is
+    O(log² n), diameter-independent)."""
+    from etna_spark.data.dedup import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    got = {
+        r["u"]: r["component"]
+        for r in connected_components(
+            path, max_iter=20, switch_after=3
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_connected_components_contraction_matches_propagation(spark):
+    """On random shallow graphs the two regimes must agree exactly."""
+    import random
+
+    from etna_spark.data.dedup import _cc_alternating, _cc_canon, connected_components
+
+    rng = random.Random(11)
+    edges = {(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(45)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    prop = {
+        r["u"]: r["component"] for r in connected_components(df).collect()
+    }
+    und = df.selectExpr("id_a as u", "id_b as v").unionAll(
+        df.selectExpr("id_b as u", "id_a as v")
+    )
+    alt = {
+        r["u"]: r["component"]
+        for r in _cc_alternating(_cc_canon(und, "u", "v"), 20).collect()
+    }
+    assert alt == prop
