@@ -380,6 +380,9 @@ class HierarchicalClustering:
             # isolated series (no edge within threshold) root themselves
             F.coalesce(F.col("component"), F.col("node")).alias("_root"),
         )
+        # one row per CLUSTER: the unpartitioned running window is a single
+        # task over a cluster-count-bounded table (≤ n_series rows), not a
+        # data-sized sort
         wroot = Window.orderBy("_root")
         roots = (
             labeled.select("_root").distinct()
@@ -412,15 +415,18 @@ class HierarchicalClustering:
             raise ValueError(f"unknown centroid method '{method}'")
         lab = self._labels_df
         if method == "euclidean":
+            # no forced broadcast: lab is one row per SERIES — unbounded
+            # at doc-level key cardinality; Spark's size-limited broadcast
+            # machinery decides
             return (
-                self._df.join(F.broadcast(lab), on=self.series_col)
+                self._df.join(lab, on=self.series_col)
                 .groupBy("cluster", self.ts_col)
                 .agg(F.avg(self.value_col).alias(self.value_col))
             )
         ts_type = self._df.schema[self.ts_col].dataType.simpleString()
         packed = (
             self._df.filter(F.col(self.value_col).isNotNull())
-            .join(F.broadcast(lab), on=self.series_col)
+            .join(lab, on=self.series_col)
             .groupBy("cluster", self.series_col)
             .agg(
                 F.array_sort(
