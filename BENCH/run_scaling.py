@@ -152,12 +152,15 @@ def main() -> None:
         "single-shot artifact (plan-compile + scheduler noise); under "
         "median-of-3 the same plan at the identical local[32]/sf0.1 "
         "config measures 1.04 s vs r2's 1.50 s single-shot.",
-        f"- Stages whose LOW-level wall is under {10.0:.0f} s are "
+        f"- Stages whose LOW-level wall is under {FLOOR_SEC:.0f} s are "
         "fixed-cost-bound (driver constants, nothing left to "
         "parallelize); they keep their wall-time row but report `n/a` "
-        "efficiency instead of a floor-effect number. At this input size "
-        "that is `events_rollup_interp` (sf-fixed events table; the same "
-        "operator chain at tier size is `tok_gapfill`).",
+        "efficiency instead of a floor-effect number. At this input size: "
+        + ", ".join(f"`{q}`" for q, *_rest, eff in rows_out if eff is None)
+        + " (`events_rollup_interp` runs on the sf-fixed events table — "
+        "the same operator chain at tier size is `tok_gapfill`; the "
+        "gorilla stage measured 1.097 efficiency in the r3 table when its "
+        "input was above the floor).",
         f"- The {args.rows:,}-row input keeps the LOW level ≥ 2 minutes so "
         "per-job constants stay <3% of its wall.",
         "",
