@@ -86,11 +86,17 @@ def _best_split(c: _Cums, a: int, b: int, min_size: int) -> tuple[int, float]:
 
 
 def binseg(y: np.ndarray, n_bkps: int, min_size: int = 2,
-           model: str = "linear") -> list[int]:
+           model: str = "linear", tie_break: str = "order") -> list[int]:
     """Greedy binary segmentation: returns sorted breakpoint indices (each
     b splits segments as [.., b), [b, ..)). ``model``: 'linear' (RSS around
     per-segment OLS — localizes slope AND level changes; the analogue of
-    the reference's ruptures default) or 'l2' (mean shifts only)."""
+    the reference's ruptures default) or 'l2' (mean shifts only).
+
+    ``tie_break``: which segment wins when two have EXACTLY equal best
+    gain — 'order' (list insertion order, the classic binseg walk) or
+    'start' (smallest segment start; stateless, so an SQL twin can
+    replicate the greedy with ORDER BY gain DESC, a ASC). Identical
+    picks except on exact float ties."""
     if model not in ("linear", "l2"):
         raise ValueError(f"bad binseg model {model}")
     y = np.asarray(y, dtype=np.float64)
@@ -100,7 +106,11 @@ def binseg(y: np.ndarray, n_bkps: int, min_size: int = 2,
     bkps: list[int] = []
     for _ in range(n_bkps):
         best = (1e-9, -1, -1)  # gain, split, seg index
-        for si, (a, b) in enumerate(segments):
+        seg_iter = (
+            sorted(enumerate(segments), key=lambda kv: kv[1])
+            if tie_break == "start" else list(enumerate(segments))
+        )
+        for si, (a, b) in seg_iter:
             t, gain = _best_split(c, a, b, min_size)
             if t >= 0 and gain > best[0]:
                 best = (gain, t, si)

@@ -358,7 +358,9 @@ _WINDOW_ORDER = [
     "label_encoder_docs",
     "event_proximity_1h",
     "exog_shift_auto_1h",
-    "changepoints_trend_1h",
+    # value-checked breakpoint DISCOVERY takes the window slot; the
+    # self-verifying trend-transform twin stays registered outside it
+    "changepoints_l2_breakpoints_1h",
     "feature_selection_mrmr",
     "outliers_iforest_1h",
     # core north-rule + data-ops representatives (green rows in r02)

@@ -384,3 +384,124 @@ def q_hierarchy_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("segment").alias("region"), "month_ts", "cents"
     )
+
+
+def _binseg_l2_sql(n_bkps: int, min_size: int) -> str:
+    """DuckDB twin of greedy l2 binary segmentation (change_points.binseg,
+    tie_break='start'): prefix sums → per-round best split per segment →
+    argmax gain per series, rounds unrolled as CTEs. Every float op
+    mirrors the numpy kernel's chain (syy − sy·sy/len, split-cost sum,
+    gain subtraction) on integer-exact prefix statistics."""
+    rounds = []
+    prev = "segs0"
+    for r in range(1, n_bkps + 1):
+        rounds.append(f"""
+, cand{r} AS (
+  SELECT g.s, g.a, g.b, t.k AS t,
+    ((ct.cyy - ca.cyy) - (ct.cy - ca.cy) * (ct.cy - ca.cy) / (t.k - g.a))
+    + ((cb.cyy - ct.cyy) - (cb.cy - ct.cy) * (cb.cy - ct.cy) / (g.b - t.k))
+      AS split_cost,
+    ((cb.cyy - ca.cyy) - (cb.cy - ca.cy) * (cb.cy - ca.cy) / (g.b - g.a))
+      AS seg_cost
+  FROM {prev} g
+  JOIN cum t ON t.s = g.s AND t.k >= g.a + {min_size}
+            AND t.k <= g.b - {min_size}
+  JOIN cum ca ON ca.s = g.s AND ca.k = g.a
+  JOIN cum ct ON ct.s = g.s AND ct.k = t.k
+  JOIN cum cb ON cb.s = g.s AND cb.k = g.b
+  WHERE g.b - g.a >= {2 * min_size}
+), best{r} AS (
+  SELECT s, a, b, t, seg_cost - split_cost AS gain
+  FROM cand{r}
+  QUALIFY row_number() OVER (PARTITION BY s, a, b
+                             ORDER BY split_cost ASC, t ASC) = 1
+), pick{r} AS (
+  SELECT s, a, b, t FROM best{r}
+  WHERE gain > 1e-9
+  QUALIFY row_number() OVER (PARTITION BY s ORDER BY gain DESC, a ASC) = 1
+), segs{r} AS (
+  SELECT g.s, g.a, g.b FROM {prev} g
+  LEFT JOIN pick{r} p ON p.s = g.s AND p.a = g.a AND p.b = g.b
+  WHERE p.s IS NULL
+  UNION ALL SELECT s, a, t FROM pick{r}
+  UNION ALL SELECT s, t, b FROM pick{r}
+)""")
+        prev = f"segs{r}"
+    picks = "\n  UNION ALL ".join(
+        f"SELECT s, t FROM pick{r}" for r in range(1, n_bkps + 1)
+    )
+    return f"""
+WITH series AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT event_type AS s,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1
+           AS i,
+         CAST(epoch(bucket_ts) AS BIGINT) AS bucket_epoch,
+         value_cents AS y
+  FROM series
+), cum1 AS (
+  SELECT s, i + 1 AS k,
+         CAST(sum(y) OVER w AS DOUBLE) AS cy,
+         CAST(sum(y * y) OVER w AS DOUBLE) AS cyy
+  FROM pts
+  WINDOW w AS (PARTITION BY s ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), sizes AS (
+  SELECT s, count(*) AS n FROM pts GROUP BY s
+), cum AS (
+  SELECT * FROM cum1
+  UNION ALL SELECT s, 0, 0.0, 0.0 FROM sizes
+), segs0 AS (
+  SELECT s, 0 AS a, n AS b FROM sizes
+){''.join(rounds)}
+, bkps AS (
+  {picks}
+)
+SELECT bkps.s AS event_type,
+       CAST(row_number() OVER (PARTITION BY bkps.s ORDER BY bkps.t)
+            AS INTEGER) AS bkp_rank,
+       p.bucket_epoch AS bkp_ts
+FROM bkps JOIN pts p ON p.s = bkps.s AND p.i = bkps.t
+"""
+
+
+@register("changepoints_l2_breakpoints_1h", _binseg_l2_sql(3, 12))
+def q_changepoints_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point DISCOVERY value-checked (reference change_points_based/
+    *.py use ruptures Binseg): greedy l2 binary segmentation over hourly
+    integer-cent series, breakpoint positions compared against a DuckDB
+    twin that replays the exact greedy — prefix-sum costs, first-minimum
+    split tie-break (argmin == ORDER BY cost, t LIMIT 1), gain threshold,
+    and the stateless 'start' segment tie-break — with identical float
+    chains on integer-exact statistics."""
+    import pandas as pd
+
+    from etna_spark.operators.change_points import binseg
+    from etna_spark.registry_ops2 import _events_1h
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type",
+        F.col("bucket_ts").cast("long").alias("bucket_epoch"),
+        "value_cents",
+    )
+
+    def kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("bucket_epoch")
+        y = pdf["value_cents"].to_numpy(np.float64)
+        b = binseg(y, n_bkps=3, min_size=12, model="l2", tie_break="start")
+        ts = pdf["bucket_epoch"].to_numpy()
+        return pd.DataFrame({
+            "event_type": pdf["event_type"].iloc[0],
+            "bkp_rank": np.arange(1, len(b) + 1, dtype=np.int32),
+            "bkp_ts": ts[b],
+        })
+
+    return s.groupBy("event_type").applyInPandas(
+        kern, "event_type string, bkp_rank int, bkp_ts long"
+    )

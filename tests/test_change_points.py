@@ -157,3 +157,20 @@ def test_find_change_points_returns_break_timestamps(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["change_point_ts"] == start + dt.timedelta(hours=30)
+
+
+def test_binseg_tie_break_start_matches_order():
+    """On non-degenerate data (no exact float gain ties) the stateless
+    'start' tie-break must pick the same breakpoints as the classic
+    insertion-order walk — it exists so an SQL twin can replay the greedy."""
+    import numpy as np
+
+    from etna_spark.operators.change_points import binseg
+
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        y = np.round(np.cumsum(rng.normal(0, 10, 300)))
+        for model in ("l2", "linear"):
+            assert binseg(y, 4, 12, model=model) == binseg(
+                y, 4, 12, model=model, tie_break="start"
+            )
