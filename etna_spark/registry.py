@@ -340,7 +340,9 @@ _WINDOW_ORDER = [
     "hierarchy_pipeline_topdown",
     "clustering_assignments_1h",
     "clustering_distance_euclidean",
-    "clustering_dtw_events",
+    # value-checked distributed single-linkage takes the rows-only DTW
+    # row's slot (DTW stays registered + recorded in FULLSURFACE)
+    "clustering_single_linkage_1h",
     "embedding_window_1h",
     "embedding_segment_1h",
     "metrics_interval_1h",

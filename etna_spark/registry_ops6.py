@@ -19,7 +19,7 @@ import hashlib
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etna_spark.registry import _TOK_CTE, epoch, register
@@ -504,4 +504,75 @@ def q_changepoints_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return s.groupBy("event_type").applyInPandas(
         kern, "event_type string, bkp_rank int, bkp_ts long"
+    )
+
+
+_SINGLE_LINKAGE_SQL = """
+WITH RECURSIVE series AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1, 2
+), dist AS (
+  SELECT a.event_type AS s1, b.event_type AS s2,
+    sqrt(sum(CAST(a.value_cents - b.value_cents AS DOUBLE)
+           * CAST(a.value_cents - b.value_cents AS DOUBLE))) AS d
+  FROM series a
+  JOIN series b ON a.bucket_ts = b.bucket_ts AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), edges AS (
+  SELECT s1, s2 FROM dist WHERE d <= 390000.0
+), und AS (
+  SELECT s1 AS u, s2 AS v FROM edges
+  UNION
+  SELECT s2 AS u, s1 AS v FROM edges
+), reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+), comp AS (
+  SELECT u, least(u, min(v)) AS root FROM reach GROUP BY u
+), labeled AS (
+  SELECT s.event_type, coalesce(c.root, s.event_type) AS root
+  FROM (SELECT DISTINCT event_type FROM series) s
+  LEFT JOIN comp c ON c.u = s.event_type
+), clusters AS (
+  SELECT event_type, root,
+         CAST(dense_rank() OVER (ORDER BY root) - 1 AS INTEGER) AS cluster
+  FROM labeled
+)
+SELECT event_type, cluster,
+       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM clusters
+"""
+
+
+@register("clustering_single_linkage_1h", _SINGLE_LINKAGE_SQL)
+def q_clustering_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed single-linkage clustering value-checked end-to-end
+    (reference hierarchical/base.py:33-160 semantics at the
+    threshold-graph limit): exact integer-stat euclidean distances →
+    threshold edges → connected components → dense cluster labels.
+    Distances are sqrt of exact BIGINT sufficient sums (any aggregation
+    order), the threshold compare happens at full precision in both
+    engines, and the oracle replays the components with a recursive
+    transitive-closure CTE — the one clustering path whose assignment is
+    fully SQL-reproducible (the DTW/agglomeration paths stay pinned by
+    self-verifying + pytest surfaces)."""
+    from etna_spark.operators.clustering import HierarchicalClustering
+    from etna_spark.registry_ops2 import _events_1h
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("v"),
+    )
+    hc = HierarchicalClustering(
+        distance="euclidean", series_col="event_type",
+        ts_col="bucket_ts", value_col="v",
+    ).build_distance_matrix(s)
+    labels = hc.fit_predict_threshold(threshold=390000.0)
+    w = Window.partitionBy("cluster")
+    return labels.select(
+        "event_type", F.col("cluster").cast("int").alias("cluster"),
+        F.count("*").over(w).alias("cluster_size"),
     )
