@@ -142,3 +142,68 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = out.withColumn("fingerprint", fingerprint(text_col))
     out = out.withColumn("n_tokens_ws", token_count_whitespace(text_col))
     return out
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, app. A1.1,
+    the MassiveText repetition filters): per document,
+
+    - ``top_{top_n}gram_char_frac`` — characters covered by the most
+      repeated word ``top_n``-gram (max over grams of count·len, one
+      deterministic max — no tie-break needed) over total characters;
+    - ``dup_{dup_n}gram_char_frac`` — characters covered by ALL word
+      ``dup_n``-grams occurring more than once (Σ count·len over dup
+      grams) over total characters.
+
+    Scale shape: explode n-grams → one hash aggregation on (doc, gram) →
+    one per-doc aggregation; everything JVM-side (split/transform/
+    concat_ws), no Python. High-repetition documents (boilerplate, SEO
+    spam, template farms) score near 1 and are filtered upstream of
+    tokenization."""
+    w = F.split(F.col(text_col), " ")
+    base = df.select(
+        id_col,
+        F.length(text_col).alias("_chars"),
+        w.alias("_ws"),
+    )
+
+    def grams(n: int) -> F.Column:
+        return F.when(
+            F.size("_ws") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - n),
+                lambda i: F.concat_ws(" ", F.slice("_ws", i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def char_cover(n: int, dup_only: bool, out: str) -> DataFrame:
+        g = base.select(id_col, "_chars", F.explode(grams(n)).alias("_g"))
+        cnt = g.groupBy(id_col, "_chars", "_g").agg(
+            F.count("*").alias("_c")
+        )
+        if dup_only:
+            cover = F.sum(
+                F.when(F.col("_c") > 1, F.col("_c") * F.length("_g"))
+                .otherwise(F.lit(0))
+            )
+        else:
+            cover = F.max(F.col("_c") * F.length("_g"))
+        return cnt.groupBy(id_col, "_chars").agg(
+            (cover / F.col("_chars")).alias(out)
+        ).drop("_chars")
+
+    top = char_cover(top_n, False, f"top_{top_n}gram_char_frac")
+    dup = char_cover(dup_n, True, f"dup_{dup_n}gram_char_frac")
+    out = (
+        df.select(id_col)
+        .join(top, on=id_col, how="left")
+        .join(dup, on=id_col, how="left")
+    )
+    # docs shorter than n words have no n-grams at all → 0.0
+    return out.fillna(0.0)

@@ -576,3 +576,58 @@ def q_clustering_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("cluster").cast("int").alias("cluster"),
         F.count("*").over(w).alias("cluster_size"),
     )
+
+
+_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS chars
+  FROM documents
+), g2 AS (
+  SELECT doc_id, chars,
+    unnest(CASE WHEN len(ws) >= 2 THEN list_transform(range(0, len(ws) - 1),
+      i -> array_to_string(ws[i + 1:i + 2], ' ')) ELSE [] END) AS g
+  FROM w
+), c2 AS (
+  SELECT doc_id, chars, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3
+), t2 AS (
+  SELECT doc_id, max(c * length(g)) / CAST(chars AS DOUBLE) AS topf
+  FROM c2 GROUP BY doc_id, chars
+), g3 AS (
+  SELECT doc_id, chars,
+    unnest(CASE WHEN len(ws) >= 3 THEN list_transform(range(0, len(ws) - 2),
+      i -> array_to_string(ws[i + 1:i + 3], ' ')) ELSE [] END) AS g
+  FROM w
+), c3 AS (
+  SELECT doc_id, chars, g, count(*) AS c FROM g3 GROUP BY 1, 2, 3
+), d3 AS (
+  SELECT doc_id,
+    sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+      / CAST(chars AS DOUBLE) AS dupf
+  FROM c3 GROUP BY doc_id, chars
+)
+SELECT d.doc_id,
+  round(coalesce(t2.topf, 0.0), 6) AS top_2gram_char_frac,
+  round(coalesce(d3.dupf, 0.0), 6) AS dup_3gram_char_frac
+FROM documents d
+LEFT JOIN t2 ON t2.doc_id = d.doc_id
+LEFT JOIN d3 ON d3.doc_id = d.doc_id
+"""
+
+
+@register("text_repetition_gopher", _REPETITION_SQL)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, app.
+    A1.1 — the MassiveText repetition filters): top-2-gram and
+    duplicate-3-gram character fractions per document, value-checked.
+    Integer count·length covers over integer char totals → one exact
+    division, identical in both engines."""
+    from etna_spark.data.text import repetition_stats
+    from etna_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_stats(docs, top_n=2, dup_n=3)
+    return out.select(
+        "doc_id",
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("dup_3gram_char_frac", 6).alias("dup_3gram_char_frac"),
+    )

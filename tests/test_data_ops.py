@@ -354,3 +354,22 @@ def test_connected_components_contraction_matches_propagation(spark):
         for r in _cc_alternating(_cc_canon(und, "u", "v"), 20).collect()
     }
     assert alt == prop
+
+
+def test_repetition_stats_gopher(spark):
+    """Hand-computed repetition fractions: 'a b a b a b' (chars=11) has
+    top 2-gram 'a b'x3 covering 9 chars; 3-grams 'a b a'x2 + 'b a b'x2
+    cover 20 (sum-of-covers may exceed chars on overlapping repeats)."""
+    from etna_spark.data.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert abs(out[1]["top_2gram_char_frac"] - 9 / 11) < 1e-9
+    assert abs(out[1]["dup_3gram_char_frac"] - 20 / 11) < 1e-9
+    assert abs(out[2]["top_2gram_char_frac"] - 3 / 5) < 1e-9
+    assert out[2]["dup_3gram_char_frac"] == 0.0
+    assert out[3]["top_2gram_char_frac"] == 0.0  # no 2-grams at all
+    assert out[3]["dup_3gram_char_frac"] == 0.0

@@ -184,3 +184,44 @@ def test_voting_forecast_is_projection_over_joins(spark):
     plan = _plan(ens.forecast())
     # the vote adds no Python stage beyond the base-model kernels
     assert plan.count("FlatMapGroupsInPandas") == base_kernels
+
+
+def test_embedding_neardup_candidates_are_equi_join(spark):
+    """The LSH candidate join must be a hash equi-join on (table, sig) —
+    never a cartesian/nested-loop product of the corpus with itself — and
+    all signature math stays JVM-side."""
+    from etna_spark.data.similarity import embedding_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7)] * 8) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(embedding_neardup_pairs(emb, n_planes=4, dim=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hierarchy_multihop_is_single_broadcast_join(spark):
+    """HierarchicalStructure.rollup composes the transitive mapping
+    driver-side: a 2-hop rollup must be ONE broadcast join + one
+    aggregation — no SortMergeJoin, no join chain."""
+    import datetime as dt
+
+    from etna_spark.operators.hierarchy import HierarchicalStructure
+
+    h = HierarchicalStructure(
+        {"total": ["X", "Y"], "X": ["a", "b"], "Y": ["c", "d"]},
+        ["total", "mid", "leaf"],
+    )
+    rows = [
+        (leaf, dt.datetime(2021, 1, 1 + i), float(i + 1))
+        for leaf in "abcd" for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "segment string, ts timestamp, value double")
+    plan = _plan(h.rollup(df, "leaf", "total", ["value"]))
+    # formatted plans print each node twice (tree line + detail section):
+    # exactly ONE BroadcastHashJoin node = exactly two mentions
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
