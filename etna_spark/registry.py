@@ -370,7 +370,9 @@ _WINDOW_ORDER = [
     "tok_rollup_cascade_1h",
     "tok_rollup_1h_salted",
     "tok_gapfill_ffill_1m",
-    "gorilla_roundtrip",
+    # decoded-points value check takes the window slot; the self-verifying
+    # roundtrip (points/bytes/all_match per series) stays registered
+    "gorilla_decode_points_1m",
     "events_gapfill_interp_1m",
     "lang_id",
     "dedup_exact",

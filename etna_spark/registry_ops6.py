@@ -631,3 +631,100 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
         F.round("dup_3gram_char_frac", 6).alias("dup_3gram_char_frac"),
     )
+
+
+_TOK_1M_SQL = _TOK_CTE + """
+SELECT source,
+       CAST(epoch(date_trunc('minute', event_ts)) AS BIGINT) AS bucket_ts,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM tok
+GROUP BY 1, 2
+"""
+
+
+@register("gorilla_decode_points_1m", _TOK_1M_SQL)
+def q_gorilla_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla codec under the VALUE gate: the 1m token tier is encoded to
+    XOR/delta-of-delta blobs (codec/gorilla.py:553) and decoded back, and
+    the DECODED POINTS are hash-compared against the oracle recomputing
+    the tier directly from raw rows — any lost/merged/perturbed bit in
+    either codec direction flips the driver's value hash. (The bit-level
+    format itself is not SQL-expressible; this pins the end-to-end
+    lossless contract instead, alongside the self-verifying roundtrip and
+    bit-identity pytest surfaces.)"""
+    from etna_spark.codec.gorilla import decode_series, encode_series
+    from etna_spark.operators.rollup import rollup
+
+    tt = doc_token_table(spark, sf_dir)
+    tier = rollup(
+        tt, "1m", series_cols=("source",), ts_col="event_ts",
+        value_col="n_tok",
+    ).select(
+        "source", "bucket_ts", F.col("value_sum").cast("double").alias("v")
+    )
+    enc = encode_series(tier, series_cols=("source",), ts_col="bucket_ts",
+                        value_col="v")
+    dec = decode_series(enc, series_cols=("source",), ts_col="bucket_ts",
+                        value_col="v")
+    return dec.select(
+        "source", "bucket_ts", F.col("v").cast("long").alias("tok_sum")
+    )
+
+
+_CONFIG_PREDICT_SQL = None  # filled below from registry_ops5's dense CTE
+
+
+def _config_predict_sql() -> str:
+    from etna_spark.registry_ops5 import _DENSE_1H
+
+    return _DENSE_1H + """
+, pos AS (
+  SELECT event_type, bucket_ts,
+         row_number() OVER w AS rn,
+         lag(v, 24) OVER w AS l24,
+         lag(v, 48) OVER w AS l48
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+)
+SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts,
+       round((CAST(l24 AS DOUBLE) + CAST(l48 AS DOUBLE)) / 2.0, 6) AS pred
+FROM pos WHERE rn > 48
+"""
+
+
+_CONFIG_PIPELINE_YAML = """
+_target_: etna.pipeline.Pipeline
+model:
+  _target_: etna.models.SeasonalMovingAverageModel
+  window: 2
+  seasonality: 24
+horizon: 6
+step_seconds: 3600
+in_col: v
+series_cols: [event_type]
+ts_col: bucket_ts
+"""
+
+
+def _register_config_pipeline() -> None:
+    @register("config_pipeline_predict_1h", _config_predict_sql())
+    def q_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Declarative pipeline assembly under the value gate (reference
+        forecast_command.py:116-147): a reference-style YAML `_target_`
+        spec is instantiated by plans/config.py and must produce
+        oracle-identical in-sample predictions to the imperatively-built
+        pipeline (same SQL twin as pipeline_predict_insample_1h) — config
+        parsing, alias resolution, and constructor plumbing are all on
+        the hash path."""
+        from etna_spark.plans.config import load_pipeline
+        from etna_spark.registry_ops5 import _dense_1h
+
+        dense = _dense_1h(spark, sf_dir)
+        p = load_pipeline(_CONFIG_PIPELINE_YAML).fit(dense)
+        out = p.predict()
+        return out.select(
+            "event_type", epoch(), F.round("v", 6).alias("pred")
+        )
+
+
+_register_config_pipeline()
