@@ -405,11 +405,17 @@ def connected_components(
             converged = True
             break
     if not converged:
+        remaining = max_iter - min(switch_after, max_iter)
+        if remaining <= 0:
+            raise RuntimeError(
+                f"connected_components: total round budget max_iter="
+                f"{max_iter} was exhausted by label propagation before the "
+                f"contraction switch point (switch_after={switch_after}); "
+                "did not converge — raise max_iter"
+            )
         # high-diameter graph: hand the remaining round budget to the
         # diameter-independent contraction
-        return _cc_alternating(
-            _cc_canon(und, "u", "v"), max_iter - min(switch_after, max_iter)
-        )
+        return _cc_alternating(_cc_canon(und, "u", "v"), remaining)
     return labels
 
 

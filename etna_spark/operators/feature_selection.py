@@ -310,6 +310,8 @@ def tree_importance_select(
     plans/ensembles.py:107-124). ``backend="numpy"`` is the no-JVM-ML
     fallback: the in-process Extra-Trees kernel on a seeded sample of at
     most ``max_rows`` rows (deterministic)."""
+    if backend not in ("mllib", "numpy"):
+        raise ValueError(f"backend must be 'mllib' or 'numpy', got {backend!r}")
     feature_cols = list(feature_cols)
     base = df.select(target_col, *feature_cols).dropna()
     if backend == "mllib":

@@ -126,6 +126,8 @@ class HierarchicalStructure:
 
     def ancestor_at(self, segment: str, target_level: str) -> str:
         """The unique ancestor of ``segment`` on ``target_level``."""
+        if target_level not in self._level_index:
+            raise ValueError(f"Invalid level name: {target_level}")
         src_i = self._level_index[self.get_segment_level(segment)]
         tgt_i = self._level_index[target_level]
         if tgt_i > src_i:

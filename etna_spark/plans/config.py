@@ -131,6 +131,13 @@ def load_pipeline(source: str) -> Any:
     if os.path.exists(source):
         with open(source) as f:
             cfg = yaml.safe_load(f)
+    elif "\n" not in source.strip() and (
+        source.strip().endswith((".yml", ".yaml")) or os.sep in source.strip()
+    ):
+        # single-line value that looks like a path, not inline YAML — a
+        # typo'd filename must not fall through to the baffling
+        # 'config must be a mapping' error
+        raise FileNotFoundError(f"pipeline config file not found: {source}")
     else:
         cfg = yaml.safe_load(source)
     if not isinstance(cfg, dict):

@@ -494,6 +494,15 @@ def q_changepoints_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values("bucket_epoch")
         y = pdf["value_cents"].to_numpy(np.float64)
+        # bounded-magnitude contract: the numpy kernel's float64 cumsums
+        # equal the oracle's exact-integer prefix sums only while every
+        # partial sum stays below 2^53 — fail loudly instead of letting a
+        # 1-ulp divergence flip a near-tied split at extreme magnitudes
+        if (y * y).sum() >= 2.0**53 or np.abs(y).sum() >= 2.0**53:
+            raise ValueError(
+                "changepoints_l2_breakpoints_1h: input magnitude exceeds "
+                "the exact-float prefix-sum bound (2^53) — rescale input"
+            )
         b = binseg(y, n_bkps=3, min_size=12, model="l2", tie_break="start")
         ts = pdf["bucket_epoch"].to_numpy()
         return pd.DataFrame({
@@ -553,11 +562,14 @@ def q_clustering_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference hierarchical/base.py:33-160 semantics at the
     threshold-graph limit): exact integer-stat euclidean distances →
     threshold edges → connected components → dense cluster labels.
-    Distances are sqrt of exact BIGINT sufficient sums (any aggregation
-    order), the threshold compare happens at full precision in both
-    engines, and the oracle replays the components with a recursive
-    transitive-closure CTE — the one clustering path whose assignment is
-    fully SQL-reproducible (the DTW/agglomeration paths stay pinned by
+    Squared cent diffs are exact integers in double, so their sum is
+    aggregation-order-independent WHILE it stays below 2^53 — the guard
+    below fails loudly past that bound (a 1-ulp order divergence could
+    otherwise flip an edge straddling the threshold); within it the
+    threshold compare is engine-identical at full precision, and the
+    oracle replays the components with a recursive transitive-closure
+    CTE — the one clustering path whose assignment is fully
+    SQL-reproducible (the DTW/agglomeration paths stay pinned by
     self-verifying + pytest surfaces)."""
     from etna_spark.operators.clustering import HierarchicalClustering
     from etna_spark.registry_ops2 import _events_1h
@@ -570,6 +582,13 @@ def q_clustering_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         distance="euclidean", series_col="event_type",
         ts_col="bucket_ts", value_col="v",
     ).build_distance_matrix(s)
+    # dist < sqrt(2^53) ⇔ the summed squares stayed exact under any order
+    max_d = hc._dist.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    if max_d is not None and max_d >= 9.4e7:
+        raise ValueError(
+            "clustering_single_linkage_1h: pair distance exceeds the "
+            "exact-float sum bound (sqrt(2^53)) — rescale input"
+        )
     labels = hc.fit_predict_threshold(threshold=390000.0)
     w = Window.partitionBy("cluster")
     return labels.select(

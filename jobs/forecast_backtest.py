@@ -84,10 +84,20 @@ def main() -> None:
         from etna_spark.plans.config import load_pipeline
 
         pipeline = load_pipeline(args.config)
-        model = pipeline.model
+        # ensembles/hierarchical pipelines have no single .model; the
+        # fold-estimation guard and the summary degrade gracefully
+        model = getattr(pipeline, "model", None)
+        args.horizon = getattr(pipeline, "horizon", args.horizon)
+        args.step_seconds = getattr(pipeline, "step_seconds",
+                                    args.step_seconds)
+        if args.command == "backtest" and not hasattr(pipeline, "backtest"):
+            raise SystemExit(
+                f"{type(pipeline).__name__} from --config does not support "
+                "backtest; use command=forecast"
+            )
     else:
         model = build_model(args)
-    if args.estimate_n_folds:
+    if args.estimate_n_folds and model is not None:
         from etna_spark.operators.splits import estimate_max_n_folds
 
         if hasattr(model, "context_points"):  # calendar-offset models
@@ -112,11 +122,20 @@ def main() -> None:
         )
     if args.command == "forecast":
         pipeline.fit(df)
-        out = pipeline.forecast(
-            prediction_interval=args.prediction_interval,
-            quantiles=tuple(float(q) for q in args.quantiles.split(",")),
-            n_folds=args.n_folds,
-        )
+        import inspect
+
+        # ensembles expose a parameterless forecast(); only pass the
+        # interval knobs to pipelines that accept them
+        if "prediction_interval" in inspect.signature(
+            pipeline.forecast
+        ).parameters:
+            out = pipeline.forecast(
+                prediction_interval=args.prediction_interval,
+                quantiles=tuple(float(q) for q in args.quantiles.split(",")),
+                n_folds=args.n_folds,
+            )
+        else:
+            out = pipeline.forecast()
     else:
         out = pipeline.backtest(
             df, metrics=tuple(args.metrics.split(",")), n_folds=args.n_folds
@@ -125,8 +144,9 @@ def main() -> None:
     n = spark.read.parquet(args.output).count()
     print(json.dumps({
         "event": args.command, "rows": n, "output": args.output,
-        "model": type(model).__name__ if args.config else args.model,
-        "horizon": pipeline.horizon,
+        "model": (type(model or pipeline).__name__ if args.config
+                  else args.model),
+        "horizon": getattr(pipeline, "horizon", args.horizon),
     }))
     spark.stop()
 

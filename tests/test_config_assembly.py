@@ -112,3 +112,59 @@ def test_cli_config_flag(spark, tmp_path, monkeypatch, capsys):
     assert summary["horizon"] == 7
     got = spark.read.parquet(str(outp))
     assert got.count() == 14
+
+
+ENSEMBLE_YAML = """
+_target_: etna.ensembles.VotingEnsemble
+pipelines:
+  - _target_: etna.pipeline.Pipeline
+    model: {_target_: etna.models.NaiveModel, lag: 7}
+    horizon: 7
+    in_col: value
+    series_cols: [series]
+    ts_col: ts
+  - _target_: etna.pipeline.Pipeline
+    model: {_target_: etna.models.NaiveModel, lag: 1}
+    horizon: 7
+    in_col: value
+    series_cols: [series]
+    ts_col: ts
+weights: [0.75, 0.25]
+"""
+
+
+def test_cli_config_ensemble_target(spark, tmp_path, monkeypatch, capsys):
+    """A non-Pipeline _target_ (VotingEnsemble) must run through the CLI:
+    no .model attribute, parameterless forecast()."""
+    import jobs.forecast_backtest as job
+
+    cfg = tmp_path / "ens.yaml"
+    cfg.write_text(ENSEMBLE_YAML)
+    inp = tmp_path / "panel.parquet"
+    outp = tmp_path / "fc.parquet"
+    _panel(spark).write.mode("overwrite").parquet(str(inp))
+    monkeypatch.setattr(
+        "sys.argv",
+        ["job", "forecast", "--input", str(inp), "--output", str(outp),
+         "--config", str(cfg)],
+    )
+    monkeypatch.setattr(spark.__class__, "stop", lambda self: None)
+    job.main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 14
+    assert summary["model"] == "VotingEnsemble"
+    # backtest on an ensemble target must fail with a clear message
+    monkeypatch.setattr(
+        "sys.argv",
+        ["job", "backtest", "--input", str(inp), "--output", str(outp),
+         "--config", str(cfg)],
+    )
+    with pytest.raises(SystemExit, match="does not support"):
+        job.main()
+
+
+def test_load_pipeline_missing_file_raises():
+    with pytest.raises(FileNotFoundError, match="not found"):
+        load_pipeline("/no/such/dir/pipelin.yaml")
+    with pytest.raises(FileNotFoundError, match="not found"):
+        load_pipeline("pipelin.yml")
