@@ -375,7 +375,9 @@ _WINDOW_ORDER = [
     "gorilla_decode_points_1m",
     "events_gapfill_interp_1m",
     "lang_id",
-    "dedup_exact",
+    # north-rule lineage-ledger evidence takes dedup_exact's slot (thrice
+    # recorded; minhash/simhash/CC keep the dedup family covered)
+    "tier_lineage_ledger",
     # r4-new multi-level hierarchy query takes dedup_ngram_jaccard's slot
     # (thrice-recorded; minhash/simhash/exact/CC keep the family covered)
     "hierarchy_structure_2hop",

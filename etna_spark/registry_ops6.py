@@ -747,3 +747,60 @@ def _register_config_pipeline() -> None:
 
 
 _register_config_pipeline()
+
+
+_LINEAGE_SQL = _TOK_CTE + """
+, m AS (
+  SELECT source, date_trunc('minute', event_ts) AS b FROM tok
+), mb AS (
+  SELECT DISTINCT source, b FROM m
+), hb AS (
+  SELECT DISTINCT source, date_trunc('hour', b) AS b FROM mb
+), db AS (
+  SELECT DISTINCT source, date_trunc('day', b) AS b FROM hb
+)
+SELECT '1m' AS tier, strftime(b, '%Y-%m-%d') AS partition,
+       count(*) AS rows_in,
+       (SELECT count(*) FROM mb WHERE strftime(mb.b, '%Y-%m-%d')
+          = strftime(any_value(m.b), '%Y-%m-%d')) AS points_out
+FROM m GROUP BY 2
+UNION ALL
+SELECT '1h', strftime(b, '%Y-%m-%d'), count(*),
+       (SELECT count(*) FROM hb WHERE strftime(hb.b, '%Y-%m-%d')
+          = strftime(any_value(mb.b), '%Y-%m-%d'))
+FROM mb GROUP BY 2
+UNION ALL
+SELECT '1d', strftime(b, '%Y-%m-%d'), count(*),
+       (SELECT count(*) FROM db WHERE strftime(db.b, '%Y-%m-%d')
+          = strftime(any_value(hb.b), '%Y-%m-%d'))
+FROM hb GROUP BY 2
+"""
+
+
+@register("tier_lineage_ledger", _LINEAGE_SQL)
+def q_tier_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-partition lineage LEDGER under the value gate (north rule:
+    'per-partition lineage and metrics emitted to a manifest table'): a
+    full refresh writes one lineage record per (tier, part_day) with
+    rows_in (source rows consumed for that partition) and points_out
+    (partition points after commit); the query returns the manifest's OWN
+    records and the oracle recomputes both counts per tier/day directly
+    from raw rows — a wrong rows_in split, a missed partition, or a
+    phantom lineage row flips the hash. (The xxhash64 partition checksum
+    is not DuckDB-expressible; it stays pinned by the resume pytest
+    surfaces.)"""
+    from etna_spark.plans.tiers import TierEngine
+
+    wh = _scratch(sf_dir, "lineageq")
+    tok = doc_token_table(spark, sf_dir)
+    eng = TierEngine(wh, series_cols=("source",), ts_col="event_ts",
+                     value_col="n_tok")
+    eng.input.append(tok)
+    eng.refresh(spark)
+    rows = [
+        (r["tier"], r["partition"], int(r["rows_in"]), int(r["points_out"]))
+        for r in eng.manifest.records() if r.get("kind") == "lineage"
+    ]
+    return spark.createDataFrame(
+        rows, "tier string, partition string, rows_in long, points_out long"
+    )
