@@ -641,3 +641,53 @@ class Pipeline:
         for r in results[1:]:
             out = out.unionByName(r)
         return out
+
+
+def assemble_pipelines(models, transforms, horizons, **pipeline_kwargs):
+    """Broadcast models × transform-slots × horizons into Pipeline lists
+    (reference pipeline/assembling_pipelines.py:13-105, same semantics):
+    each of the three inputs may be a scalar (copied n times) or a
+    sequence of the common length n; a transforms entry that is itself a
+    list supplies one transform per pipeline (None = skip for that
+    pipeline), a bare transform goes into every pipeline. Engine-specific
+    kwargs (in_col, series_cols, ts_col, step_seconds) pass through to
+    every Pipeline."""
+    import copy
+
+    n_models = len(models) if isinstance(models, (list, tuple)) else 1
+    n_horizons = len(horizons) if isinstance(horizons, (list, tuple)) else 1
+    n_transforms = 1
+    for item in transforms:
+        if isinstance(item, (list, tuple)):
+            if n_transforms != 1 and len(item) != n_transforms:
+                raise ValueError(
+                    "Transforms elements should be either one Transform, "
+                    "either sequence of Transforms with same length"
+                )
+            n_transforms = len(item)
+    lengths = {n_models, n_horizons, n_transforms}
+    n = max(lengths)
+    if len(lengths) != 1 and not (len(lengths) == 2 and 1 in lengths):
+        raise ValueError(
+            "Lengths of models, transforms and horizons are not "
+            "broadcastable (each must be 1 or the common length)"
+        )
+    models = (list(models) if isinstance(models, (list, tuple))
+              else [models] * n)
+    horizons = (list(horizons) if isinstance(horizons, (list, tuple))
+                else [horizons] * n)
+    per_pipeline: list[list] = []
+    for i in range(n):
+        slot = []
+        for item in transforms:
+            if isinstance(item, (list, tuple)):
+                if item[i] is not None:
+                    slot.append(item[i])
+            elif item is not None:
+                slot.append(item)
+        per_pipeline.append(slot)
+    return [
+        Pipeline(copy.deepcopy(m), copy.deepcopy(t), horizon=h,
+                 **pipeline_kwargs)
+        for m, t, h in zip(models, per_pipeline, horizons)
+    ]

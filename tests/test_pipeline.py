@@ -205,3 +205,40 @@ def test_predict_insample_deadline_calendar(spark):
     # explicit too-early start raises the reference's NaN-context error
     with pytest.raises(ValueError, match="NaNs in a target"):
         p.predict(start_ts=t0 + dt.timedelta(days=3))
+
+
+def test_assemble_pipelines_broadcasting(spark):
+    """Reference assemble_pipelines semantics: scalars broadcast, listed
+    transform slots distribute per pipeline, None slots are skipped, and
+    mismatched lengths raise."""
+    import pytest
+
+    from etna_spark.operators.lags import LagTransform
+    from etna_spark.plans.pipeline import assemble_pipelines
+
+    shared = LagTransform(in_col="value", lags=[1])
+    per = [LagTransform(in_col="value", lags=[2]), None,
+           LagTransform(in_col="value", lags=[3])]
+    pipes = assemble_pipelines(
+        naive_model(7), [shared, per], [1, 2, 3],
+        in_col="value", series_cols=("series",), ts_col="ts",
+    )
+    assert [p.horizon for p in pipes] == [1, 2, 3]
+    assert [len(p.transforms) for p in pipes] == [2, 1, 2]
+    # deep copies: fitting one pipeline must not alias another's model
+    assert pipes[0].model is not pipes[1].model
+    assert pipes[0].transforms[0] is not pipes[2].transforms[0]
+    # models sequence broadcasting with scalar horizon
+    pipes2 = assemble_pipelines(
+        [naive_model(1), naive_model(7)], [shared], 5,
+        in_col="value", series_cols=("series",), ts_col="ts",
+    )
+    assert len(pipes2) == 2 and all(p.horizon == 5 for p in pipes2)
+    # one of them runs end-to-end
+    out = pipes[0].fit(_panel(spark)).forecast()
+    assert out.count() == 2  # horizon 1 x 2 series
+    with pytest.raises(ValueError, match="broadcastable|same length"):
+        assemble_pipelines(
+            [naive_model(1), naive_model(7)], [shared], [1, 2, 3],
+            in_col="value", series_cols=("series",), ts_col="ts",
+        )
