@@ -155,6 +155,70 @@ def cosine_topk_lsh(
     )
 
 
+def sq8_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 scalar quantization of an embedding column — the standard
+    first compression step of a vector store (4× smaller than float32,
+    16× smaller than float64; FAISS's SQ8 / every vector DB's default).
+
+    Per vector: ``scale = (max − min) / 255``; ``code_i = round((v_i −
+    min) / scale)`` in 0..255. Returns (id, codes array<int>, mn, scale);
+    all arithmetic is element-wise JVM HOFs with a fixed float chain, so
+    a DuckDB oracle replays it exactly. Constant vectors get scale 0 and
+    all-zero codes (dequantize returns mn)."""
+    v = F.col(vec_col)
+    # widen BEFORE subtracting: float32 max−min rounds to float precision,
+    # while the oracle subtracts widened doubles — the chains must match
+    mn = F.array_min(v).cast("double")
+    scale = (
+        F.array_max(v).cast("double") - F.array_min(v).cast("double")
+    ) / F.lit(255.0)
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("_v"),
+            mn.alias("_mn"),
+            scale.alias("_scale"),
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("_v"),
+                lambda x: F.when(
+                    F.col("_scale") > 0,
+                    F.least(
+                        F.lit(255),
+                        F.greatest(
+                            F.lit(0),
+                            F.round(
+                                (x.cast("double") - F.col("_mn"))
+                                / F.col("_scale"),
+                                0,
+                            ).cast("int"),
+                        ),
+                    ),
+                ).otherwise(F.lit(0)),
+            ).alias("codes"),
+            F.col("_mn").alias("mn"),
+            F.col("_scale").alias("scale"),
+        )
+    )
+
+
+def sq8_decode(encoded: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Dequantize: ``v̂_i = mn + code_i · scale`` (array<double>)."""
+    return encoded.select(
+        "vec_id",
+        F.transform(
+            F.col("codes"),
+            lambda c: F.col("mn") + c.cast("double") * F.col("scale"),
+        ).alias(vec_col),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

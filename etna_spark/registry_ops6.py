@@ -804,3 +804,69 @@ def q_tier_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "tier string, partition string, rows_in long, points_out long"
     )
+
+
+_SQ8_SQL = """
+WITH enc AS (
+  SELECT vec_id, embedding,
+    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+    (CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+     - CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0 AS scale
+  FROM embeddings
+), deq AS (
+  SELECT vec_id,
+    CASE WHEN scale > 0 THEN
+      list_transform(embedding, x ->
+        mn + least(255, greatest(0,
+          CAST(round((CAST(x AS DOUBLE) - mn) / scale, 0) AS INTEGER)))
+        * scale)
+    ELSE list_transform(embedding, x -> mn) END AS e
+  FROM enc
+), q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(q.embedding[i] AS DOUBLE) * c.e[i]))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST(q.embedding[i] AS DOUBLE)
+             * CAST(q.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+        i -> c.e[i] * c.e[i])))) AS sim
+  FROM q, deq c WHERE q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(sim, 5) AS cosine_sim,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("ann_cosine_sq8", _SQ8_SQL)
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized vector search (similarity.py::sq8_encode —
+    the FAISS-SQ8-style 4-16x embedding compression every vector store
+    applies first): the corpus is quantized and dequantized, queries stay
+    exact (asymmetric search), and the full encode→decode→score→rank
+    chain is value-checked against a DuckDB replay of the identical
+    per-element arithmetic."""
+    from etna_spark.data.similarity import (
+        cosine_topk_bruteforce,
+        sq8_decode,
+        sq8_encode,
+    )
+    from etna_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = sq8_decode(sq8_encode(emb))
+    out = cosine_topk_bruteforce(queries, corpus, k=5)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine_sim", 5).alias("cosine_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -373,3 +373,60 @@ def test_repetition_stats_gopher(spark):
     assert out[2]["dup_3gram_char_frac"] == 0.0
     assert out[3]["top_2gram_char_frac"] == 0.0  # no 2-grams at all
     assert out[3]["dup_3gram_char_frac"] == 0.0
+
+
+def test_sq8_quantization_error_and_recall(spark):
+    """SQ8 reconstruction error is bounded by scale/2 per element, and
+    top-1 search over the dequantized corpus recovers >=90% of the exact
+    top-1 neighbors on the sf embeddings."""
+    from etna_spark.data.similarity import sq8_decode, sq8_encode
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    enc = sq8_encode(emb)
+    deq = sq8_decode(enc)
+    joined = (
+        emb.select("vec_id", "embedding")
+        .join(deq.withColumnRenamed("embedding", "deq"), on="vec_id")
+        .join(enc.select("vec_id", "scale"), on="vec_id")
+        .select(
+            "vec_id", "scale",
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "deq",
+                    lambda a, b: F.abs(a.cast("double") - b),
+                ),
+                F.lit(0.0), lambda acc, x: F.greatest(acc, x),
+            ).alias("max_err"),
+        )
+    )
+    bad = joined.filter(
+        F.col("max_err") > F.col("scale") / 2 + 1e-9
+    ).count()
+    assert bad == 0
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk_bruteforce(
+            emb.filter("vec_id < 30"), emb, k=1
+        ).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk_bruteforce(
+            emb.filter("vec_id < 30"), sq8_decode(sq8_encode(emb)), k=1
+        ).collect()
+    }
+    hits = sum(1 for q, n in approx.items() if exact.get(q) == n)
+    assert hits / len(exact) >= 0.9
+
+
+def test_sq8_constant_vector(spark):
+    from etna_spark.data.similarity import sq8_decode, sq8_encode
+
+    emb = spark.createDataFrame(
+        [(1, [2.5] * 8), (2, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    enc = sq8_encode(emb)
+    rows = {r["vec_id"]: r for r in enc.collect()}
+    assert rows[1]["scale"] == 0.0 and set(rows[1]["codes"]) == {0}
+    deq = {r["vec_id"]: r["embedding"] for r in sq8_decode(enc).collect()}
+    assert deq[1] == [2.5] * 8 and deq[2] == [0.0] * 8
