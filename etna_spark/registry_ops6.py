@@ -870,3 +870,43 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 5).alias("cosine_sim"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+_VOCAB_SQL = _TOK_CTE + """
+, t AS (
+  SELECT source, unnest(tokens) AS token FROM tok
+), counts AS (
+  SELECT token, count(*) AS cnt FROM t GROUP BY token
+), ranked AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM counts
+)
+SELECT CAST(token AS INTEGER) AS token, cnt, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 50
+"""
+
+
+@register("tok_vocab_hist", _VOCAB_SQL)
+def q_tok_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary histogram over the pre-tokenized sequences (input_hint's
+    tokens array<int32> is the payload): explode → hash-aggregate →
+    deterministic top-50 (count desc, token asc). The canonical
+    token-frequency scan of a training lakehouse — one shuffle on
+    token id, partial aggregation map-side; the final top-k is a
+    cluster-wide sort of the aggregated (vocab-sized) table only."""
+    tt = doc_token_table(spark, sf_dir)
+    counts = (
+        tt.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select(
+            F.col("token").cast("int").alias("token"), "cnt",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
