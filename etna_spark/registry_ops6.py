@@ -910,3 +910,42 @@ def q_tok_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+_MIX_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+    ((doc_id % 1000000007) * 1103515245 + 12345) % 2147483648 % 10000
+      AS bucket
+  FROM documents
+)
+SELECT doc_id, source FROM h
+WHERE bucket < CASE source
+  WHEN 'src0' THEN 10000
+  WHEN 'src1' THEN 7500
+  WHEN 'src2' THEN 5000
+  WHEN 'src3' THEN 2500
+  WHEN 'src4' THEN 0
+  ELSE 1000 END
+"""
+
+
+@register("data_mix_sample", _MIX_SQL)
+def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified data mixing (data/sampling.py): keep
+    each document iff an arithmetic LCG bucket of its doc_id lands under
+    its source's mixture rate — a pure per-row filter (no shuffle, no
+    RNG), and the EXACT sampled membership is value-checked against the
+    oracle replaying the same modular arithmetic. Rates exercise the full
+    range: keep-all, three partial weights, drop-all, and the default."""
+    from etna_spark.data.sampling import hash_stratified_sample
+    from etna_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_stratified_sample(
+        docs, key_col="doc_id", strata_col="source",
+        rates={"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
+               "src4": 0.0},
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "source")

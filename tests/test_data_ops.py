@@ -430,3 +430,37 @@ def test_sq8_constant_vector(spark):
     assert rows[1]["scale"] == 0.0 and set(rows[1]["codes"]) == {0}
     deq = {r["vec_id"]: r["embedding"] for r in sq8_decode(enc).collect()}
     assert deq[1] == [2.5] * 8 and deq[2] == [0.0] * 8
+
+
+def test_hash_stratified_sample_properties(spark):
+    """Deterministic, rate-respecting (within hash-uniformity tolerance),
+    monotone in the rate, and exact at the 0/1 endpoints."""
+    from etna_spark.data.sampling import hash_stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").cache()
+
+    def sample(rates, default=0.0):
+        return {
+            r["doc_id"]
+            for r in hash_stratified_sample(
+                df, "doc_id", "source", rates, default_rate=default
+            ).collect()
+        }
+
+    full = sample({"a": 1.0, "b": 1.0})
+    assert len(full) == 4000  # rate 1 keeps everything
+    assert sample({"a": 0.0, "b": 0.0}) == set()
+    half = sample({"a": 0.5, "b": 0.0})
+    assert sample({"a": 0.5, "b": 0.0}) == half  # deterministic
+    assert 0.4 * 2000 < len(half) < 0.6 * 2000  # ~rate within tolerance
+    assert all(i % 2 == 0 for i in half)  # only stratum 'a'
+    # monotone: raising the rate only adds rows
+    assert half <= sample({"a": 0.8, "b": 0.0})
+    # default rate applies to unlisted strata
+    dflt = sample({}, default=0.25)
+    assert 0.15 * 4000 < len(dflt) < 0.35 * 4000
+    import pytest
+
+    with pytest.raises(ValueError, match="must be in"):
+        hash_stratified_sample(df, "doc_id", "source", {"a": 1.5})
