@@ -31,7 +31,10 @@ _M = 2_147_483_648
 def hash_bucket(key: Column, salt: int = 0) -> Column:
     """Uniform bucket in [0, N_BUCKETS) from an integer key — the inner
     ``pmod(key, p)`` bounds the multiplication so ANSI int64 never
-    overflows regardless of key magnitude."""
+    overflows regardless of key magnitude. ``pmod`` is non-negative even
+    for negative keys; an SQL twin must replay it as
+    ``((x % m) + m) % m`` (plain signed ``%`` diverges on negative
+    keys — see the ``data_mix_sample`` oracle)."""
     k = F.pmod(key.cast("long") + F.lit(salt).cast("long"), F.lit(_P))
     return F.pmod(k * F.lit(_A) + F.lit(_C), F.lit(_M)) % F.lit(N_BUCKETS)
 

@@ -161,6 +161,21 @@ def repetition_stats(
       ``dup_n``-grams occurring more than once (Σ count·len over dup
       grams) over total characters.
 
+    **Deliberate deviations from the published Gopher statistics** (so
+    the DuckDB oracle replays one exact integer formula with no
+    tie-break ambiguity — do NOT reuse MassiveText's published
+    thresholds against these columns; re-calibrate on your corpus):
+
+    - the "top" gram maximizes ``count * len(gram)`` (characters
+      covered), not raw occurrence count as in Rae et al. — a single
+      deterministic ``max`` over integers, whereas most-frequent-gram
+      needs a tie-break rule that SQL and Spark would have to share;
+    - the "dup" coverage sums ``count * len(gram)`` over *overlapping*
+      duplicated grams without de-overlapping, so the fraction can
+      exceed 1.0 on highly repetitive text (e.g. "a a a a" → 20/11 in
+      the pytest golden). Rank/filter by relative value, not by an
+      absolute [0, 1] scale.
+
     Scale shape: explode n-grams → one hash aggregation on (doc, gram) →
     one per-doc aggregation; everything JVM-side (split/transform/
     concat_ws), no Python. High-repetition documents (boilerplate, SEO

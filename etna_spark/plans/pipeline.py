@@ -672,17 +672,26 @@ def assemble_pipelines(models, transforms, horizons, **pipeline_kwargs):
             "Lengths of models, transforms and horizons are not "
             "broadcastable (each must be 1 or the common length)"
         )
+    # Broadcast length-1 LISTS to n as well, not just scalars — the
+    # validation above accepts {1, n}, so a singleton list must behave
+    # like a scalar or zip() below would silently truncate to 1 pipeline
+    # (the reference has this bug; we keep the promised semantics).
     models = (list(models) if isinstance(models, (list, tuple))
-              else [models] * n)
+              else [models])
+    if len(models) == 1:
+        models = models * n
     horizons = (list(horizons) if isinstance(horizons, (list, tuple))
-                else [horizons] * n)
+                else [horizons])
+    if len(horizons) == 1:
+        horizons = horizons * n
     per_pipeline: list[list] = []
     for i in range(n):
         slot = []
         for item in transforms:
             if isinstance(item, (list, tuple)):
-                if item[i] is not None:
-                    slot.append(item[i])
+                entry = item[0] if len(item) == 1 else item[i]
+                if entry is not None:
+                    slot.append(entry)
             elif item is not None:
                 slot.append(item)
         per_pipeline.append(slot)

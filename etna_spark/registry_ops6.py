@@ -331,7 +331,14 @@ def q_hierarchy_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's adjacency list + csr summing matrix), then the customer
     panel rolls up TWO levels (customer → region) in ONE broadcast join —
     the transitive summing matrix composed driver-side. Oracle recomputes
-    the same two hops as plain dimension joins."""
+    the same two hops as plain dimension joins.
+
+    Driver-memory bound: the ``customer.collect()`` below pulls the full
+    leaf dimension to the driver to build the adjacency list, so driver
+    memory/latency is linear in leaf-segment cardinality — fine for the
+    TPC-H harness (≤150k leaves at sf1). At high-cardinality keys build
+    the (child, parent) mapping as a distributed dimension join instead
+    and keep only the LEVEL graph (a handful of names) driver-side."""
     from etna_spark.operators.hierarchy import HierarchicalStructure
     from etna_spark.sources.testdata import load_table
 
@@ -914,9 +921,13 @@ def q_tok_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_SQL = """
 WITH h AS (
+  -- ((x % m) + m) % m mirrors Spark's pmod exactly, so the oracle stays
+  -- bit-identical to hash_bucket() even for NEGATIVE integer keys
+  -- (signed % alone would bucket them differently).
   SELECT doc_id, source,
-    ((doc_id % 1000000007) * 1103515245 + 12345) % 2147483648 % 10000
-      AS bucket
+    ((((((doc_id % 1000000007) + 1000000007) % 1000000007)
+       * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648
+      % 10000 AS bucket
   FROM documents
 )
 SELECT doc_id, source FROM h

@@ -234,6 +234,14 @@ def test_assemble_pipelines_broadcasting(spark):
         in_col="value", series_cols=("series",), ts_col="ts",
     )
     assert len(pipes2) == 2 and all(p.horizon == 5 for p in pipes2)
+    # length-1 LISTS broadcast like scalars (not silently zip-truncated)
+    pipes3 = assemble_pipelines(
+        [naive_model(7)], [[shared]], [1, 2, 3],
+        in_col="value", series_cols=("series",), ts_col="ts",
+    )
+    assert [p.horizon for p in pipes3] == [1, 2, 3]
+    assert [len(p.transforms) for p in pipes3] == [1, 1, 1]
+    assert pipes3[0].model is not pipes3[1].model
     # one of them runs end-to-end
     out = pipes[0].fit(_panel(spark)).forecast()
     assert out.count() == 2  # horizon 1 x 2 series
