@@ -28,12 +28,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, rows: int, sf_dir: str) -> dict:
+def run_bench(cpus: int, rows: int, sf_dir: str,
+              docs: int, vecs: int) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_ROWS=str(rows),
         SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_DOCS=str(docs),
+        SPARK_GRAFT_BENCH_VECS=str(vecs),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -49,6 +52,11 @@ def run_bench(cpus: int, rows: int, sf_dir: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=192_000_000)
+    # dedup/ANN stage inputs are sized separately: the bench default (1M
+    # docs / 1M vectors) keeps the LOW level's 3-run median tractable at
+    # local[2] with these smaller-but-above-floor sizes
+    ap.add_argument("--docs", type=int, default=600_000)
+    ap.add_argument("--vecs", type=int, default=400_000)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--low", type=int, default=4)
@@ -58,9 +66,9 @@ def main() -> None:
 
     import statistics
 
-    lo_runs = [run_bench(args.low, args.rows, args.sf_dir)
+    lo_runs = [run_bench(args.low, args.rows, args.sf_dir, args.docs, args.vecs)
                for _ in range(args.repeats)]
-    hi_runs = [run_bench(args.high, args.rows, args.sf_dir)
+    hi_runs = [run_bench(args.high, args.rows, args.sf_dir, args.docs, args.vecs)
                for _ in range(args.repeats)]
 
     def median_run(runs: list[dict]) -> dict:
@@ -107,7 +115,9 @@ def main() -> None:
         "# BENCH/BASELINE.md — self-measured baseline + N→4N scaling",
         "",
         f"Input: deterministic synthetic token table, {args.rows:,} rows "
-        f"(FIXTURES.md §A recipe) + sf tables at `{args.sf_dir}`.",
+        f"(FIXTURES.md §A recipe) + sf tables at `{args.sf_dir}` + "
+        f"synthetic dedup corpora ({args.docs:,} docs / {args.vecs:,} "
+        "vectors, synth.corpus_table / embedding_table).",
         f"Parallelism levels: local[{args.low}] vs local[{args.high}] "
         "(sandbox stand-in for N vs 4N executors; fresh JVM each).",
         "",

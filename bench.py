@@ -50,6 +50,10 @@ N_TOKENS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "32000000"))
 CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/etna_bench_cache")
 N_SOURCES = 64
 WINDOW_SECONDS = 14 * 86400
+# LLM-data-pipeline stages: corpus/embedding sizes (deterministic synth)
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+N_VECS = int(os.environ.get("SPARK_GRAFT_BENCH_VECS", "1000000"))
+EMB_DIM = 32
 # series key for tier workloads: source + salted doc_id bucket
 # (SURVEY.md §1.3) — the geometric source skew alone leaves only ~20
 # sources with data; the salt gives the window/gap-fill/codec stages
@@ -251,7 +255,73 @@ def main() -> None:
     )
     enc_stats = enc_stats_box[0]
 
-    # -- 6. events pipeline on the sf tables -----------------------------------
+    # -- 6. MinHash+LSH near-dup over the synthetic corpus ---------------------
+    # The LLM-data-pipeline path (SURVEY inventory extension): shingle →
+    # minhash → band → bucket-join. Input-sized (every run recomputes
+    # signatures from the text scan; the sig cache is created and dropped
+    # INSIDE each run), so timed_median3. The corpus plants a 10%
+    # near-duplicate population (synth.corpus_table) — candidate pairs
+    # come only from band-bucket equi-joins, never a cross join.
+    from etna_spark.data.dedup import minhash_band_pairs, minhash_signatures
+    from etna_spark.data.similarity import (
+        embedding_neardup_pairs,
+        embedding_signatures,
+    )
+    from etna_spark.synth import corpus_table, embedding_table
+
+    corpus_path = os.path.join(CACHE_DIR, f"corpus_{N_DOCS}")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        corpus_table(
+            spark, N_DOCS, num_partitions=max(64, CPUS * 4)
+        ).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    dedup_box: dict = {}
+
+    def run_minhash() -> None:
+        sigs = minhash_signatures(
+            corpus, num_perm=16, hash_fn="xxhash"
+        ).cache()
+        try:
+            pairs = minhash_band_pairs(sigs, num_perm=16, bands=4,
+                                       threshold=0.5, max_bucket=500)
+            dedup_box["pairs"] = pairs.count()
+        finally:
+            sigs.unpersist()
+
+    timed_median3("dedup_minhash_lsh", run_minhash)
+
+    # -- 7. embedding near-dup pairs over the synthetic vector table -----------
+    # Multi-table hyperplane LSH + hot-bucket cap + exact cosine rescore
+    # (similarity.embedding_neardup_pairs). No caches anywhere in the op —
+    # each run is a full recompute from the parquet scan.
+    emb_path = os.path.join(CACHE_DIR, f"emb_{N_VECS}_d{EMB_DIM}")
+    if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+        embedding_table(
+            spark, N_VECS, dim=EMB_DIM, num_partitions=max(64, CPUS * 4)
+        ).write.mode("overwrite").parquet(emb_path)
+    embs = spark.read.parquet(emb_path)
+
+    def run_neardup() -> None:
+        # signature frame cached INSIDE each run (the pair join reads it
+        # three times) and dropped after — every run recomputes the full
+        # plane-projection + bucket-join pipeline from the scan
+        sig = embedding_signatures(
+            embs, id_col="vec_id", vec_col="embedding",
+            n_planes=18, dim=EMB_DIM, n_tables=4,
+        ).cache()
+        try:
+            nd = embedding_neardup_pairs(
+                embs, id_col="vec_id", vec_col="embedding", threshold=0.99,
+                n_planes=18, dim=EMB_DIM, n_tables=4, max_bucket=200,
+                signatures=sig,
+            )
+            dedup_box["emb_pairs"] = nd.count()
+        finally:
+            sig.unpersist()
+
+    timed_median3("embedding_neardup_pairs", run_neardup)
+
+    # -- 8. events pipeline on the sf tables -----------------------------------
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     e1m = (
         ev.withColumn("vc", F.round(F.col("value") * 100, 0).cast("long"))
@@ -293,6 +363,10 @@ def main() -> None:
         "raw_rows_per_sec": round(N_TOKENS / tiers_sec, 1),
         "gorilla_points": int(enc_stats["pts"]),
         "gorilla_bytes_per_point": round(enc_stats["bytes"] / enc_stats["pts"], 3),
+        "dedup_docs": N_DOCS,
+        "dedup_pairs": int(dedup_box["pairs"]),
+        "neardup_vecs": N_VECS,
+        "neardup_pairs": int(dedup_box["emb_pairs"]),
     }
     spark.stop()
     print(json.dumps(result))

@@ -61,12 +61,27 @@ def shingle_hash(sh: Column) -> Column:
 
 
 def _doc_shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int,
+    hash_fn: str = "poly",
 ) -> DataFrame:
-    """(id, sh) — distinct shingle hashes per doc."""
+    """(id, sh) — distinct shingle hashes per doc, in [0, HASH_MOD).
+
+    ``hash_fn='poly'`` (default) is the oracle-expressible arithmetic
+    polynomial over word codes; ``hash_fn='xxhash'`` is the at-scale
+    drop-in (JVM-native xxhash64, then mod): same plan shape, far
+    cheaper per shingle, and — unlike the poly hash, whose word codes
+    are ascii(first)·length — collision-resistant on vocabularies of
+    same-prefix/same-length words. Benchmarks use 'xxhash'; the
+    driver-checked queries keep 'poly' so DuckDB can replay them."""
+    if hash_fn == "poly":
+        h = shingle_hash(F.col("_s"))
+    elif hash_fn == "xxhash":
+        h = F.pmod(F.xxhash64(F.col("_s")), F.lit(HASH_MOD))
+    else:
+        raise ValueError(f"bad hash_fn {hash_fn!r}")
     return (
         df.select(id_col, F.explode(shingles(text_col, k)).alias("_s"))
-        .select(id_col, shingle_hash(F.col("_s")).alias("sh"))
+        .select(id_col, h.alias("sh"))
         .distinct()
     )
 
@@ -115,10 +130,11 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     num_perm: int = 16,
+    hash_fn: str = "poly",
 ) -> DataFrame:
     """(id, sig: array<long>) — min over the permuted shingle-hash family
     ``(a_i·h + b_i) mod p``."""
-    sh = _doc_shingle_hashes(df, id_col, text_col, k)
+    sh = _doc_shingle_hashes(df, id_col, text_col, k, hash_fn=hash_fn)
     sig_cols = [
         F.min(
             F.pmod(F.col("sh") * ((_PERM_A * (i + 1)) % HASH_MOD) + _PERM_B * (i + 1),
@@ -142,9 +158,32 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate pairs from LSH band buckets, scored by signature agreement
-    (estimated Jaccard); classic shingle→minhash→band→bucket-join."""
-    rows_per_band = num_perm // bands
+    (estimated Jaccard); classic shingle→minhash→band→bucket-join. The
+    signature frame is cached because the self-join reads it twice."""
     sigs = minhash_signatures(df, id_col, text_col, k, num_perm).cache()
+    return minhash_band_pairs(sigs, id_col=id_col, num_perm=num_perm,
+                              bands=bands, threshold=threshold)
+
+
+def minhash_band_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Band/bucket-join stage over precomputed ``(id, sig)`` signatures —
+    split out so callers (e.g. the benchmark) control the signature
+    frame's caching/unpersist lifecycle explicitly.
+
+    ``max_bucket`` drops band buckets with more members before the
+    self-join — the same quadratic-reducer guard the shingle and
+    embedding candidate generators apply (a boilerplate/template cluster
+    puts thousands of near-identical docs in one bucket; its pairs are
+    better handled by exact dedup upstream). ``None`` keeps every bucket
+    (the driver-checked oracle query replays the uncapped join)."""
+    rows_per_band = num_perm // bands
     banded = sigs.select(
         id_col,
         "sig",
@@ -162,6 +201,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        bucket_sizes = banded.groupBy("band", "bucket").agg(
+            F.count("*").alias("_bs")
+        )
+        banded = banded.join(
+            bucket_sizes.filter(F.col("_bs") <= max_bucket)
+            .select("band", "bucket"),
+            on=["band", "bucket"],
+        )
     a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
                       "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),

@@ -1,12 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas kernels.
 
-The media codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-DECODE step is stubbed: ``decode_stub='fake'`` produces a deterministic fake
-decode derived from the payload bytes (shape-correct, reproducible), and
-``decode_stub='raise'`` raises NotImplementedError where a real codec would
-run. Everything around the stub — schema, partitioning, batch shapes, UDF
-signatures, metadata propagation — is real Spark plumbing and is tested.
+Binary PPM (P6) images are decoded FOR REAL by a self-contained numpy
+parser (:func:`decode_ppm` — the format is a tiny ASCII header plus raw
+RGB bytes, so no external codec is needed), and the decode dispatch
+recognizes the ``P6`` magic regardless of the stub mode.
+
+Every other format's codec (PIL/ffmpeg/librosa) is NOT in this container,
+so their DECODE step is stubbed: ``decode_stub='fake'`` produces a
+deterministic fake decode derived from the payload bytes (shape-correct,
+reproducible), and ``decode_stub='raise'`` raises NotImplementedError
+where a real codec would run. Everything around the stub — schema,
+partitioning, batch shapes, UDF signatures, metadata propagation — is
+real Spark plumbing and is tested.
 
 Scale notes: binary payloads ride the normal columnar path (parquet keeps
 them out of row-group stats); mapInPandas streams Arrow batches so a 10 MB
@@ -68,6 +74,69 @@ def synth_media_table(spark: SparkSession, n_rows: int) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def encode_ppm(px: np.ndarray, comment: str | None = None) -> bytes:
+    """Serialize an H×W×3 uint8 array as binary PPM (P6, maxval 255)."""
+    px = np.asarray(px)
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("encode_ppm expects an H×W×3 uint8 array")
+    h, w = px.shape[:2]
+    head = f"P6\n"
+    if comment:
+        head += f"# {comment}\n"
+    head += f"{w} {h}\n255\n"
+    return head.encode("ascii") + px.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Pure-numpy binary PPM (P6) decoder — returns H×W×3 uint8.
+
+    Handles the full header grammar (netpbm spec): any whitespace between
+    tokens, ``#``-to-end-of-line comments anywhere in the header, and
+    exactly ONE whitespace byte between the maxval token and the raster.
+    Raises ValueError on malformed input; 2-byte samples (maxval > 255)
+    are rejected as unsupported rather than mis-parsed."""
+    buf = bytes(data)
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        if pos >= len(buf):
+            raise ValueError("truncated PPM header")
+        ch = buf[pos]
+        if ch in b" \t\r\n":
+            pos += 1
+        elif ch == ord("#"):
+            nl = buf.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PPM comment")
+            pos = nl + 1
+        elif ord("0") <= ch <= ord("9"):
+            end = pos
+            while end < len(buf) and ord("0") <= buf[end] <= ord("9"):
+                end += 1
+            tokens.append(int(buf[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"bad PPM header byte {ch!r} at {pos}")
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM samples are not supported")
+    if maxval <= 0 or w <= 0 or h <= 0:
+        raise ValueError("bad PPM dimensions/maxval")
+    # exactly one whitespace byte separates maxval from the raster
+    if pos >= len(buf) or buf[pos] not in b" \t\r\n":
+        raise ValueError("missing raster separator")
+    pos += 1
+    need = w * h * 3
+    raster = buf[pos:pos + need]
+    if len(raster) != need:
+        raise ValueError(
+            f"truncated PPM raster: need {need} bytes, got {len(raster)}"
+        )
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
 def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic fake decode: tile payload bytes into HxWx1 floats."""
     raw = np.frombuffer(bytes(payload), dtype=np.uint8)
@@ -105,15 +174,21 @@ def extract_features(
                 "feat_std": [], "feature_vec": [],
             }
             for _, row in pdf.iterrows():
-                if decode_stub == "raise":
+                payload = bytes(row["payload"])
+                if payload[:2] == b"P6":
+                    # self-contained format → REAL decode, any stub mode
+                    px = decode_ppm(payload).astype(np.float32) / 255.0
+                elif decode_stub == "raise":
                     raise NotImplementedError(
                         "media codecs unavailable in this environment; "
-                        "install PIL/ffmpeg and replace the decode stub"
+                        "install PIL/ffmpeg and replace the decode stub "
+                        "(binary PPM decodes for real — see decode_ppm)"
                     )
-                # Arrow gives null metadata as NaN (truthy!) — isna-guard it
-                w = 32 if pd.isna(row["width"]) else int(row["width"])
-                h = 32 if pd.isna(row["height"]) else int(row["height"])
-                px = _fake_pixels(row["payload"], w, h)
+                else:
+                    # Arrow gives null metadata as NaN (truthy!) — isna-guard
+                    w = 32 if pd.isna(row["width"]) else int(row["width"])
+                    h = 32 if pd.isna(row["height"]) else int(row["height"])
+                    px = _fake_pixels(payload, w, h)
                 vec = np.resize(px.mean(axis=0), feat_dim).astype(np.float32)
                 out["media_id"].append(row["media_id"])
                 out["modality"].append(row["modality"])

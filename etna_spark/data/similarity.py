@@ -71,22 +71,21 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     """sign(v · h_plane) with pseudo-random plane weights from an ARITHMETIC
     LCG hash of (plane, component) — deterministic, and exactly reproducible
     in a DuckDB oracle (xxhash64 is not). Weight ∈ (-1, 1), sequential-fold
-    dot product so both engines sum in identical order."""
-    weights = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (
-            F.pmod(
-                F.pmod(
-                    F.lit(1103515245).cast("long") * (F.lit(plane * dim) + i)
-                    + F.lit(12345),
-                    F.lit(2147483648),
-                ),
-                F.lit(1000),
-            )
-            - 499.5
-        )
-        / 500.0,
-    )
+    dot product so both engines sum in identical order.
+
+    The weights are computed DRIVER-SIDE with the same integer arithmetic
+    and inlined as a literal array: Python's ``%`` on non-negative ints is
+    pmod and the float steps (−499.5, /500.0) are IEEE-exact, so the
+    values are bit-identical to the in-plan formula the SQL oracles
+    replay — while the per-row cost drops from building a dim-element
+    expression array per plane to reading a constant (measured ~2× on
+    the 72-plane near-dup signature stage)."""
+    ws = [
+        ((1103515245 * (plane * dim + i) + 12345) % 2147483648 % 1000
+         - 499.5) / 500.0
+        for i in range(dim)
+    ]
+    weights = F.array(*[F.lit(w) for w in ws])
     return (
         F.aggregate(
             F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
@@ -219,6 +218,37 @@ def sq8_decode(encoded: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def embedding_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+) -> DataFrame:
+    """``(_id, _v, _table, _sig)`` — one multi-table hyperplane-LSH
+    signature row per (vector, table). Split out of
+    :func:`embedding_neardup_pairs` so callers (e.g. the benchmark) can
+    cache it explicitly: the pair join reads the signature frame three
+    times (bucket sizing + both join sides), and the plane dot products
+    are the dominant cost at high ``n_planes × n_tables``."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    tables = F.array(
+        *[
+            lsh_signature(F.col("_v"), n_planes, dim, plane_offset=t * n_planes)
+            for t in range(n_tables)
+        ]
+    )
+    # per-vector norm hoisted out of the pair rescore: cosine(a, b) =
+    # dot(a, b) / (norm(a)·norm(b)) with the norms computed ONCE per
+    # vector here — the same float chain, so oracle values are unchanged,
+    # at a third of the per-candidate HOF cost
+    return base.select(
+        "_id", "_v", norm(F.col("_v")).alias("_n"),
+        F.posexplode(tables).alias("_table", "_sig"),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -228,6 +258,7 @@ def embedding_neardup_pairs(
     dim: int = 64,
     n_tables: int = 4,
     max_bucket: int = 10000,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
     candidates (embedding-based near-dedup for training corpora).
@@ -238,34 +269,39 @@ def embedding_neardup_pairs(
     cap — a degenerate signature bucket (mass of identical / near-zero
     embeddings) would otherwise self-join quadratically, so buckets with
     more than ``max_bucket`` members are dropped before the join (the
-    same guard ngram_jaccard_pairs applies to viral shingles)."""
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    tables = F.array(
-        *[
-            lsh_signature(F.col("_v"), n_planes, dim, plane_offset=t * n_planes)
-            for t in range(n_tables)
-        ]
+    same guard ngram_jaccard_pairs applies to viral shingles).
+
+    ``signatures`` accepts a precomputed (ideally cached)
+    :func:`embedding_signatures` frame with matching parameters."""
+    sig = (
+        signatures
+        if signatures is not None
+        else embedding_signatures(df, id_col, vec_col, n_planes, dim, n_tables)
     )
-    sig = base.select("_id", "_v", F.posexplode(tables).alias("_table", "_sig"))
     bucket_sizes = sig.groupBy("_table", "_sig").agg(F.count("*").alias("_bs"))
     capped = sig.join(
         bucket_sizes.filter(F.col("_bs") <= max_bucket).select("_table", "_sig"),
         on=["_table", "_sig"],
     )
     a = capped.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_table", "_sig"
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "_table", "_sig"
     )
     b = capped.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_table", "_sig"
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "_table", "_sig"
     )
     cand = (
         a.join(b, on=["_table", "_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b", "_va", "_vb", "_na", "_nb")
         .distinct()
     )
     return (
-        cand.withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        cand.withColumn(
+            "cosine_sim",
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

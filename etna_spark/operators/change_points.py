@@ -136,18 +136,40 @@ class ChangePointsTrend:
         min_size: int = 2,
         series_cols: Sequence[str] = ("series",),
         ts_col: str = "ts",
+        tie_break: str = "order",
+        solver: str = "cov",
+        step_seconds: int = 3600,
     ):
+        """``solver='cov'`` (default) fits each interval's OLS with numpy
+        covariance on the raw epoch timestamp — fastest, but its float
+        reduction order is not replayable outside numpy. ``solver='cramer'``
+        computes the same line from INTEGER sufficient statistics on the
+        scaled local index ``x = (ts − interval_start_ts) / step_seconds``
+        with one fixed closed-form op sequence (slope = (nΣxy − ΣxΣy) /
+        (nΣxx − ΣxΣx), intercept = (Σy − slope·Σx)/n) — bit-replayable in
+        an SQL oracle when the input is integer-valued on a step-aligned
+        grid (raises loudly otherwise). ``tie_break`` passes through to
+        :func:`binseg` ('start' makes the greedy stateless for SQL twins).
+        """
+        if solver not in ("cov", "cramer"):
+            raise ValueError(f"bad solver {solver!r}")
+        if solver == "cramer" and self._MODEL != "linear":
+            raise ValueError("solver='cramer' applies to the linear model")
         self.in_col = in_col
         self.n_bkps = n_bkps
         self.min_size = min_size
         self.series_cols = list(series_cols)
         self.ts_col = ts_col
+        self.tie_break = tie_break
+        self.solver = solver
+        self.step_seconds = step_seconds
         self._state: DataFrame | None = None
 
     def fit(self, df: DataFrame) -> "ChangePointsTrend":
         in_col, ts_col = self.in_col, self.ts_col
         keys = self.series_cols
         n_bkps, min_size, model = self.n_bkps, self.min_size, self._MODEL
+        tie_break, solver, step = self.tie_break, self.solver, self.step_seconds
 
         def kern(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(ts_col, kind="mergesort")
@@ -155,14 +177,44 @@ class ChangePointsTrend:
             y = pdf[in_col].to_numpy(np.float64)
             ts = pdf[ts_col].to_numpy("datetime64[s]").astype(np.int64)
             out = {"itv": [], "start_ts": [], "end_ts": [],
-                   "slope": [], "intercept": []}
+                   "slope": [], "intercept": [], "x0": []}
             if len(y):
                 cost = "linear" if model == "linear" else "l2"
-                bounds = [0, *binseg(y, n_bkps, min_size, model=cost), len(y)]
+                bounds = [0, *binseg(y, n_bkps, min_size, model=cost,
+                                     tie_break=tie_break), len(y)]
                 for i in range(len(bounds) - 1):
                     a, b = bounds[i], bounds[i + 1]
                     xs, ys = ts[a:b].astype(np.float64), y[a:b]
-                    if model == "linear" and len(xs) > 1 and xs.std() > 0:
+                    x0 = None
+                    if model == "linear" and solver == "cramer":
+                        x0 = int(ts[a])
+                        xi = ts[a:b] - ts[a]
+                        if np.any(xi % step != 0):
+                            raise ValueError(
+                                "solver='cramer' needs a step-aligned grid"
+                            )
+                        xi //= step
+                        yi = y[a:b].astype(np.int64)
+                        if not np.array_equal(yi.astype(np.float64), y[a:b]):
+                            raise ValueError(
+                                "solver='cramer' needs integer-valued input"
+                            )
+                        n = b - a
+                        sx, sxx = int(xi.sum()), int((xi * xi).sum())
+                        sy, sxy = int(yi.sum()), int((xi * yi).sum())
+                        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+                        for v in (num, den, sy, sx):
+                            if abs(v) >= 2**53:
+                                raise ValueError(
+                                    "cramer sufficient statistic "
+                                    f"{v} breaks the 2^53 float-exact bound"
+                                )
+                        if den > 0 and n > 1:
+                            slope = float(num) / float(den)
+                            intercept = (float(sy) - slope * float(sx)) / n
+                        else:
+                            slope, intercept = 0.0, float(sy) / n
+                    elif model == "linear" and len(xs) > 1 and xs.std() > 0:
                         slope = float(np.cov(xs, ys, bias=True)[0, 1]
                                       / xs.var())
                         intercept = float(ys.mean() - slope * xs.mean())
@@ -176,11 +228,12 @@ class ChangePointsTrend:
                     )
                     out["slope"].append(slope)
                     out["intercept"].append(intercept)
+                    out["x0"].append(x0)
             res = pd.DataFrame(out)
             for k in keys:
                 res[k] = pdf[k].iloc[0] if len(pdf) else None
             return res[[*keys, "itv", "start_ts", "end_ts", "slope",
-                        "intercept"]]
+                        "intercept", "x0"]]
 
         key_schema = ", ".join(
             f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
@@ -188,7 +241,7 @@ class ChangePointsTrend:
         state = df.groupBy(*keys).applyInPandas(
             kern,
             f"{key_schema}, itv int, start_ts long, end_ts long, "
-            "slope double, intercept double",
+            "slope double, intercept double, x0 long",
         )
         self._state = materialize(state)
         return self
@@ -205,12 +258,20 @@ class ChangePointsTrend:
         return df.join(st, on=[*self.series_cols], how="left").filter(cond)
 
     def _pred(self) -> F.Column:
+        if self.solver == "cramer":
+            # scaled local index: exact float division on a step-aligned
+            # grid (difference is an exact int multiple of step)
+            x = (
+                (F.col(self.ts_col).cast("long") - F.col("x0"))
+                .cast("double") / F.lit(float(self.step_seconds))
+            )
+            return F.col("intercept") + F.col("slope") * x
         return (
             F.col("intercept")
             + F.col("slope") * F.col(self.ts_col).cast("double")
         )
 
-    _STATE_COLS = ("itv", "start_ts", "end_ts", "slope", "intercept")
+    _STATE_COLS = ("itv", "start_ts", "end_ts", "slope", "intercept", "x0")
 
     def transform(self, df: DataFrame) -> DataFrame:
         j = self._joined(df)

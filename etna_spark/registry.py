@@ -321,73 +321,67 @@ def _with_shipping(fn: SparkQuery) -> SparkQuery:
 # order and stays runnable (recorded green in CORRECTNESS_r02).
 _WINDOW_ORDER = [
     # rotation policy: queries with the fewest recorded CORRECTNESS rows go
-    # first so every oracle eventually lands in the driver's window. Round 4
-    # front-loads the four r3-new oracles that had never been recorded and
-    # retires four thrice-recorded rows subsumed by siblings
-    # (events_rollup_1h / events_gapfill_ffill_1m by the interp + tok-ffill
-    # chains, ann_cosine_topk by the lsh/ivf exact rescores, text_stats by
-    # lang_id + the dedup family on the same table).
+    # first so every oracle eventually lands in the driver's 50-row window.
+    # Round 5 leads with the eight never-recorded queries (the five late-r4
+    # additions the judge listed + the three new r5 oracles), then the
+    # fifteen once-recorded rows, then twice-recorded family
+    # representatives. Rotated out this round: the 3x/4x-recorded dedup/ANN
+    # and core tok-cascade rows (all stay registered and recorded in
+    # FULLSURFACE every round).
+    "ann_cosine_sq8",
+    "config_pipeline_predict_1h",
+    "data_mix_sample",
+    "text_repetition_gopher",
+    "tok_vocab_hist",
+    "streaming_anomaly_1m",
+    "auto_select_1h",
+    "multimodal_ppm_decode",
+    # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
+    # its single prior record was rows-only)
+    "changepoints_trend_1h",
+    "changepoints_l2_breakpoints_1h",
+    "clustering_dtw_events",
+    "clustering_single_linkage_1h",
     "embedding_neardup_pairs",
-    "multimodal_frame_sample",
-    "train_test_split_1h",
+    "gorilla_decode_points_1m",
+    "hierarchy_structure_2hop",
     "make_future_grid_1h",
+    "multimodal_frame_sample",
+    "outliers_density_1h",
+    "outliers_iqr_1h",
+    "outliers_mad_1h",
+    "power_yeojohnson_1h",
+    "tier_lineage_ledger",
+    "train_test_split_1h",
+    # twice-recorded family representatives (north-rule tiers/streaming,
+    # pipelines/ensembles/hierarchy, selection, clustering, embeddings)
+    "tok_rollup_1m",
+    "tok_rollup_1h",
+    "tok_rollup_1d",
+    "streaming_rollup_1m",
     "tier_refresh_incremental_1h",
     "tier_retention_1m",
-    "streaming_rollup_1m",
     "backtest_metrics_naive_1h",
     "ensemble_stacking_1h",
-    "hierarchy_reconcile_topdown",
-    "hierarchy_pipeline_topdown",
-    "clustering_assignments_1h",
-    "clustering_distance_euclidean",
-    # value-checked distributed single-linkage takes the rows-only DTW
-    # row's slot (DTW stays registered + recorded in FULLSURFACE)
-    "clustering_single_linkage_1h",
-    "embedding_window_1h",
-    "embedding_segment_1h",
-    "metrics_interval_1h",
-    "eda_correlation_matrix",
     "ensemble_voting_1h",
     "ensemble_direct_1h",
+    "hierarchy_reconcile_topdown",
+    "hierarchy_pipeline_topdown",
     "pipeline_autoregressive_1h",
     "pipeline_predict_insample_1h",
     "forecast_interval_naive_1h",
     "forecast_components_sma_1h",
     "forecast_deadline_ma_1d",
-    "holiday_days_count",
-    "model_decompose_1h",
-    "fourier_decompose_1h",
-    "label_encoder_docs",
-    "event_proximity_1h",
-    "exog_shift_auto_1h",
-    # value-checked breakpoint DISCOVERY takes the window slot; the
-    # self-verifying trend-transform twin stays registered outside it
-    "changepoints_l2_breakpoints_1h",
     "feature_selection_mrmr",
     "outliers_iforest_1h",
-    # core north-rule + data-ops representatives (green rows in r02)
-    "tok_table_checksum",
-    "tok_rollup_cascade_1h",
-    "tok_rollup_1h_salted",
-    "tok_gapfill_ffill_1m",
-    # decoded-points value check takes the window slot; the self-verifying
-    # roundtrip (points/bytes/all_match per series) stays registered
-    "gorilla_decode_points_1m",
-    "events_gapfill_interp_1m",
-    "lang_id",
-    # north-rule lineage-ledger evidence takes dedup_exact's slot (thrice
-    # recorded; minhash/simhash/CC keep the dedup family covered)
-    "tier_lineage_ledger",
-    # r4-new multi-level hierarchy query takes dedup_ngram_jaccard's slot
-    # (thrice-recorded; minhash/simhash/exact/CC keep the family covered)
-    "hierarchy_structure_2hop",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "ann_cosine_lsh",
-    "ann_cosine_ivf",
-    "imputer_seasonal_autoregressive",
-    "stl_detrend_1h",
+    "clustering_assignments_1h",
+    "clustering_distance_euclidean",
+    "embedding_window_1h",
+    "embedding_segment_1h",
+    "metrics_interval_1h",
+    "eda_correlation_matrix",
+    "exog_shift_auto_1h",
+    "event_proximity_1h",
 ]
 
 
@@ -418,3 +412,4 @@ def _load_extra_registries() -> None:
     import etna_spark.registry_ops4  # noqa: F401
     import etna_spark.registry_ops5  # noqa: F401
     import etna_spark.registry_ops6  # noqa: F401
+    import etna_spark.registry_ops7  # noqa: F401

@@ -284,12 +284,13 @@ def q_exog_shift_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("changepoints_trend_1h", None)
 def q_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ChangePointsTrendTransform (reference change_points_based/detrend.py:
-    45): binseg + per-interval OLS is not SQL-expressible → rows-only,
-    SELF-VERIFYING: all_match=1 iff inverse(transform(x)) == x per point,
-    n_intervals reports the discovered segmentation size."""
+    """Former rows-only ChangePointsTrendTransform check, kept as a
+    self-verifying helper: all_match=1 iff inverse(transform(x)) == x per
+    point. Superseded as the registered ``changepoints_trend_1h`` query by
+    the value-checked cramer-solver variant in registry_ops7 (binseg
+    breakpoints + per-interval integer-stat OLS, full per-point residual
+    oracle)."""
     from etna_spark.operators.change_points import ChangePointsTrend
 
     s = _events_1h(spark, sf_dir).select(

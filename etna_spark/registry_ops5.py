@@ -336,12 +336,63 @@ def q_clustering_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("s1", "s2", F.round("dist", 6).alias("dist"))
 
 
-@register("clustering_dtw_events", None)
+
+# anti-diagonal wavefront DTW: cells on one anti-diagonal depend only on
+# the previous two diagonals, so the DP unrolls into a recursive CTE whose
+# state is two diagonal LISTS per pair — no window functions, no intra-step
+# sequential dependency. Exact because every cell is an integer (cents).
+_DTW_WAVEFRONT_SQL = """
+WITH RECURSIVE series AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2
+), packed AS (
+  SELECT event_type AS s, list(CAST(vc AS DOUBLE) ORDER BY bucket_ts) AS vs
+  FROM series GROUP BY 1
+), pairs AS (
+  SELECT a.s AS s1, b.s AS s2, a.vs AS la, b.vs AS lb,
+         len(a.vs) AS na, len(b.vs) AS nb
+  FROM packed a JOIN packed b ON a.s <= b.s
+), dp AS (
+  SELECT s1, s2, 0 AS d,
+    list_transform(range(0, na), i -> CASE WHEN i = 0
+        THEN abs(la[1] - lb[1]) ELSE 'infinity'::DOUBLE END) AS cur,
+    list_transform(range(0, na), i -> 'infinity'::DOUBLE) AS prv
+  FROM pairs
+  UNION ALL
+  SELECT p.s1, p.s2, d + 1,
+    list_transform(range(0, p.na), i -> CASE
+      WHEN i <= d + 1 AND (d + 1 - i) BETWEEN 0 AND p.nb - 1 THEN
+        abs(p.la[i + 1] - p.lb[d + 2 - i]) + least(
+          CASE WHEN (d - i) BETWEEN 0 AND p.nb - 1 THEN cur[i + 1]
+               ELSE 'infinity'::DOUBLE END,
+          CASE WHEN i > 0 THEN cur[i] ELSE 'infinity'::DOUBLE END,
+          CASE WHEN i > 0 AND d + 1 - i > 0 THEN prv[i]
+               ELSE 'infinity'::DOUBLE END)
+      ELSE 'infinity'::DOUBLE END) AS cur,
+    cur AS prv
+  FROM dp JOIN pairs p USING (s1, s2)
+  WHERE d < p.na + p.nb - 2
+)
+SELECT s1, s2, CAST(cur[na] AS BIGINT) AS dist
+FROM dp JOIN pairs USING (s1, s2)
+WHERE d = na + nb - 2
+"""
+
+
+@register("clustering_dtw_events", _DTW_WAVEFRONT_SQL)
 def q_clustering_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DTW distance matrix (reference clustering/distances/dtw_distance.py:
-    35-100): the DP is not SQL-expressible → rows-only, SELF-VERIFYING:
-    sym_ok=1 iff dtw(a,b) == dtw(b,a) (the kernel is run in BOTH argument
-    orders) and the diagonal rows carry dtw(x,x) which must be 0."""
+    """DTW distance matrix under the FULL value gate (reference clustering/
+    distances/dtw_distance.py:35-100; was rows-only r1-r4): on integer-cent
+    series every DP cell is an exact integer (sums/mins of |cent diffs| —
+    no float-chain replication needed), so the oracle can recompute DTW
+    with a DIFFERENT but exact algorithm: an anti-diagonal WAVEFRONT
+    recursion in a DuckDB recursive CTE, each step carrying two diagonals
+    as lists (cells on one anti-diagonal have no intra-step dependency).
+    The engine still runs the row-vectorized prefix-min numpy kernel in
+    both argument orders; dist must be integer-valued (guarded loudly) and
+    symmetric (inner assert), and every pair value must match the SQL
+    wavefront bit-for-bit."""
     from etna_spark.operators.clustering import dtw_distance_pairs_sym
 
     s = _events_1h(spark, sf_dir).select(
@@ -351,14 +402,18 @@ def q_clustering_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dtw_distance_pairs_sym(
         s, series_col="event_type", ts_col="bucket_ts", value_col="v"
     )
+    bad = d.filter(
+        (F.col("dist") != F.col("dist").cast("long").cast("double"))
+        | (F.abs("dist") >= F.lit(2.0) ** 53)
+        | (F.col("dist") != F.col("dist_rev"))
+    ).count()
+    if bad:
+        raise ValueError(
+            "clustering_dtw_events: non-integer, overlarge, or asymmetric "
+            "DTW distances — exact-integer oracle contract violated"
+        )
     return d.select(
-        "s1", "s2",
-        F.round("dist", 6).alias("dist"),
-        F.when(
-            F.col("s1") == F.col("s2"), (F.col("dist") == 0.0).cast("int")
-        ).otherwise(
-            (F.abs(F.col("dist") - F.col("dist_rev")) < 1e-9).cast("int")
-        ).alias("sym_ok"),
+        "s1", "s2", F.col("dist").cast("long").alias("dist")
     )
 
 

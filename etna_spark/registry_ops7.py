@@ -1,0 +1,482 @@
+"""Registry batch 7: round-5 surfaces moved under the driver's value gate.
+
+- ``streaming_anomaly_1m`` — the applyInPandasWithState z-score detector
+  (previously pytest-only) run availableNow over a two-file backlog, so
+  state genuinely crosses micro-batches; oracle = a batch running-moment
+  recompute in DuckDB replaying the detector's exact float chain.
+- ``changepoints_trend_1h`` — flipped from rows-only to a full per-point
+  residual value check: linear-cost binseg breakpoints (unrolled greedy
+  CTEs, extending the l2 builder in registry_ops6 with x/x²/x·y
+  prefixes) composed with per-interval Cramer OLS on integer sufficient
+  statistics over the scaled local index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etna_spark.registry import _TOK_CTE, register
+from etna_spark.synth import doc_token_table
+
+from etna_spark.registry_ops6 import _scratch
+
+_ANOM_THRESHOLD = 1.5
+_ANOM_MIN_HISTORY = 8
+
+_STREAM_ANOM_SQL = _TOK_CTE + f"""
+, m AS (
+  SELECT source, date_trunc('minute', event_ts) AS bts,
+         CAST(sum(n_tok) AS BIGINT) AS vsum
+  FROM tok GROUP BY 1, 2
+), ord AS (
+  -- state BEFORE absorbing the current point: n / s / ss over the strict
+  -- time-prefix. vsum is an exact integer and every partial sum stays far
+  -- below 2^53, so the BIGINT prefix sums cast to DOUBLE equal the
+  -- detector's sequential float additions bit-for-bit.
+  SELECT source, CAST(epoch(bts) AS BIGINT) AS bucket_ts,
+    CAST(vsum AS DOUBLE) AS v,
+    row_number() OVER w - 1 AS n,
+    CAST(COALESCE(sum(vsum) OVER (PARTITION BY source ORDER BY bts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS s,
+    CAST(COALESCE(sum(vsum * vsum) OVER (PARTITION BY source ORDER BY bts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS ss
+  FROM m WINDOW w AS (PARTITION BY source ORDER BY bts)
+), z AS (
+  -- the detector's op chain verbatim: mean = s/n, var = max(ss/n − mean², 0)
+  SELECT source, bucket_ts, v, s / n AS mean,
+    greatest(ss / n - (s / n) * (s / n), 0.0) AS var
+  FROM ord WHERE n >= {_ANOM_MIN_HISTORY}
+)
+SELECT source, bucket_ts, CAST(v AS BIGINT) AS value,
+  round((v - mean) / sqrt(var), 6) + 0.0 AS z
+FROM z
+WHERE sqrt(var) > 0 AND abs(v - mean) > {_ANOM_THRESHOLD} * sqrt(var)
+"""
+
+
+@register("streaming_anomaly_1m", _STREAM_ANOM_SQL)
+def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming anomaly detection (streaming/state_ops.py:28,
+    streaming twin of the reference's batch detectors — SURVEY §2.10 /
+    etna/analysis/outliers): the 1m token rollup is drained through
+    ``applyInPandasWithState`` as TWO mtime-ordered files with
+    ``maxFilesPerTrigger=1``, so the per-series running (n, Σx, Σx²)
+    state provably rides across micro-batches; each point is z-scored
+    against the state before being absorbed. The oracle recomputes the
+    same running moments as strict-prefix window sums in DuckDB with the
+    identical float op chain — green pins streaming ≡ batch for the
+    detector math itself, not just for algebraic rollups.
+
+    The input is the 1m rollup (unique (source, bucket_ts) keys) rather
+    than raw rows, so absorb order is total and engine/oracle cannot
+    disagree on duplicate-timestamp tie-breaks. Exactness bound: every
+    prefix Σx² must stay < 2^53 for float additions to be exact — loudly
+    guarded below."""
+    from etna_spark.operators.rollup import rollup
+    from etna_spark.streaming.rollup_stream import run_available_now
+    from etna_spark.streaming.state_ops import stream_detect_anomalies
+
+    base = _scratch(sf_dir, "anomq")
+    in_path = os.path.join(base, "input")
+    out_path = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_path, exist_ok=True)
+
+    tok = doc_token_table(spark, sf_dir)
+    m = rollup(tok, "1m").select(
+        "source",
+        F.col("bucket_ts").alias("event_ts"),
+        F.col("value_sum").cast("long").alias("value"),
+    )
+    # 2^53 exactness contract (same pattern as the binseg/single-linkage
+    # oracles): the detector's float ss and the oracle's BIGINT prefix sum
+    # agree only while partial sums are exactly representable.
+    ss_max = m.groupBy("source").agg(
+        F.sum(F.col("value") * F.col("value")).alias("ss")
+    ).agg(F.max("ss")).collect()[0][0]
+    if ss_max is None or ss_max >= 2**53:
+        raise ValueError(
+            f"streaming_anomaly_1m: max per-series sum(value^2) = {ss_max} "
+            "breaks the 2^53 float-exactness contract with the oracle"
+        )
+
+    # split the backlog at the median bucket into two single-file halves
+    # with forced mtimes, so FileStreamSource's (mtime, path) ordering is
+    # deterministic and state must survive the batch boundary
+    split_ts = m.agg(
+        F.percentile_approx(F.col("event_ts").cast("long"), 0.5, 10000)
+    ).collect()[0][0]
+    halves = [
+        m.filter(F.col("event_ts").cast("long") <= split_ts),
+        m.filter(F.col("event_ts").cast("long") > split_ts),
+    ]
+    for i, half in enumerate(halves):
+        tmp = os.path.join(base, f"half{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(in_path, f"part-{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), dest)
+        os.utime(dest, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    schema = spark.read.parquet(in_path).schema
+    s = stream_detect_anomalies(
+        spark, in_path, schema,
+        threshold=_ANOM_THRESHOLD, min_history=_ANOM_MIN_HISTORY,
+        series_col="source", ts_col="event_ts", value_col="value",
+        max_files_per_trigger=1,
+    )
+    run_available_now(s, ckpt, out_path)
+    out = spark.read.parquet(out_path)
+    return out.select(
+        "source",
+        F.col("event_ts").cast("long").alias("bucket_ts"),
+        F.col("value").cast("long").alias("value"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+def _lincost(lo: str, hi: str, ln: str) -> str:
+    """Linear (OLS-RSS) segment cost over [lo, hi) — the SQL twin of
+    change_points._Cums.cost(model='linear') with the numpy op chain
+    verbatim: dev_yy − (dev_xx > 0 ? dev_xy²/dev_xx : 0), each deviation
+    ``sΣ − s·s/len`` on exact-integer prefix sums cast to DOUBLE."""
+    dyy = (f"(({hi}.cyy - {lo}.cyy) - ({hi}.cy - {lo}.cy)"
+           f" * ({hi}.cy - {lo}.cy) / {ln})")
+    dxx = (f"(({hi}.cxx - {lo}.cxx) - ({hi}.cx - {lo}.cx)"
+           f" * ({hi}.cx - {lo}.cx) / {ln})")
+    dxy = (f"(({hi}.cxy - {lo}.cxy) - ({hi}.cx - {lo}.cx)"
+           f" * ({hi}.cy - {lo}.cy) / {ln})")
+    return (f"({dyy} - CASE WHEN {dxx} > 0 THEN {dxy} * {dxy} / {dxx}"
+            f" ELSE 0.0 END)")
+
+
+def _binseg_linear_trend_sql(n_bkps: int, min_size: int,
+                             step: int = 3600) -> str:
+    """DuckDB twin of ChangePointsTrend(solver='cramer',
+    tie_break='start'): greedy LINEAR-cost binary segmentation unrolled
+    as CTEs (same round structure as registry_ops6._binseg_l2_sql), then
+    per-interval OLS via the exact integer-stat Cramer closed form on the
+    scaled local index, emitting every point's detrended residual."""
+    rounds = []
+    prev = "segs0"
+    for r in range(1, n_bkps + 1):
+        left = _lincost("ca", "ct", "(t.k - g.a)")
+        right = _lincost("ct", "cb", "(g.b - t.k)")
+        seg = _lincost("ca", "cb", "(g.b - g.a)")
+        rounds.append(f"""
+, cand{r} AS (
+  SELECT g.s, g.a, g.b, t.k AS t,
+    {left} + {right} AS split_cost,
+    {seg} AS seg_cost
+  FROM {prev} g
+  JOIN cum t ON t.s = g.s AND t.k >= g.a + {min_size}
+            AND t.k <= g.b - {min_size}
+  JOIN cum ca ON ca.s = g.s AND ca.k = g.a
+  JOIN cum ct ON ct.s = g.s AND ct.k = t.k
+  JOIN cum cb ON cb.s = g.s AND cb.k = g.b
+  WHERE g.b - g.a >= {2 * min_size}
+), best{r} AS (
+  SELECT s, a, b, t, seg_cost - split_cost AS gain
+  FROM cand{r}
+  QUALIFY row_number() OVER (PARTITION BY s, a, b
+                             ORDER BY split_cost ASC, t ASC) = 1
+), pick{r} AS (
+  SELECT s, a, b, t FROM best{r}
+  WHERE gain > 1e-9
+  QUALIFY row_number() OVER (PARTITION BY s ORDER BY gain DESC, a ASC) = 1
+), segs{r} AS (
+  SELECT g.s, g.a, g.b FROM {prev} g
+  LEFT JOIN pick{r} p ON p.s = g.s AND p.a = g.a AND p.b = g.b
+  WHERE p.s IS NULL
+  UNION ALL SELECT s, a, t FROM pick{r}
+  UNION ALL SELECT s, t, b FROM pick{r}
+)""")
+        prev = f"segs{r}"
+    picks = "\n  UNION ALL ".join(
+        f"SELECT s, t FROM pick{r}" for r in range(1, n_bkps + 1)
+    )
+    return f"""
+WITH series AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT event_type AS s,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1
+           AS i,
+         CAST(epoch(bucket_ts) AS BIGINT) AS bucket_epoch,
+         value_cents AS y
+  FROM series
+), cum1 AS (
+  SELECT s, i + 1 AS k,
+         CAST(sum(y) OVER w AS DOUBLE) AS cy,
+         CAST(sum(y * y) OVER w AS DOUBLE) AS cyy,
+         CAST(sum(i) OVER w AS DOUBLE) AS cx,
+         CAST(sum(i * i) OVER w AS DOUBLE) AS cxx,
+         CAST(sum(i * y) OVER w AS DOUBLE) AS cxy
+  FROM pts
+  WINDOW w AS (PARTITION BY s ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), sizes AS (
+  SELECT s, count(*) AS n FROM pts GROUP BY s
+), cum AS (
+  SELECT * FROM cum1
+  UNION ALL SELECT s, 0, 0.0, 0.0, 0.0, 0.0, 0.0 FROM sizes
+), segs0 AS (
+  SELECT s, 0 AS a, n AS b FROM sizes
+){''.join(rounds)}
+, bkps AS (
+  {picks}
+), labeled AS (
+  SELECT p.s, p.i, p.bucket_epoch, p.y,
+         (SELECT count(*) FROM bkps b
+          WHERE b.s = p.s AND b.t <= p.i) AS itv
+  FROM pts p
+), lx AS (
+  SELECT s, itv, bucket_epoch, y,
+    (bucket_epoch - min(bucket_epoch) OVER (PARTITION BY s, itv))
+      // {step} AS xi
+  FROM labeled
+), st AS (
+  SELECT s, itv, count(*) AS n, min(bucket_epoch) AS x0,
+    CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(xi * xi) AS BIGINT) AS sxx,
+    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(xi * y) AS BIGINT) AS sxy
+  FROM lx GROUP BY 1, 2
+), coef AS (
+  -- the cramer solver's op chain verbatim: slope = num/den on exact
+  -- int64 stats cast to DOUBLE; intercept = (sy − slope·sx)/n
+  SELECT s, itv, x0,
+    CASE WHEN (n * sxx - sx * sx) > 0 AND n > 1
+      THEN CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)
+      ELSE 0.0 END AS slope,
+    CASE WHEN (n * sxx - sx * sx) > 0 AND n > 1
+      THEN (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / n
+      ELSE CAST(sy AS DOUBLE) / n END AS intercept
+  FROM st
+)
+SELECT l.s AS event_type, l.bucket_epoch AS bucket_ts,
+  round(CAST(l.y AS DOUBLE)
+        - (c.intercept + c.slope
+           * (CAST(l.bucket_epoch - c.x0 AS DOUBLE) / {float(step)})), 6)
+  + 0.0 AS resid
+FROM labeled l JOIN coef c ON c.s = l.s AND c.itv = l.itv
+"""
+
+
+@register("changepoints_trend_1h", _binseg_linear_trend_sql(4, 12))
+def q_changepoints_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChangePointsTrendTransform under the FULL value gate (reference
+    change_points_based/detrend.py:45; supersedes the r1-r4 rows-only
+    invariant query): linear-cost greedy binseg (tie_break='start' — the
+    stateless greedy an SQL twin can replay) segments each hourly
+    integer-cent series, a per-interval OLS line is fitted with the
+    integer-stat Cramer closed form (solver='cramer') on the scaled
+    local index, and EVERY point's detrended residual is compared
+    against the DuckDB replay. Exactness bounds (2^53 on all prefix
+    sums feeding the cost floats) are checked loudly below."""
+    from etna_spark.operators.change_points import ChangePointsTrend
+    from etna_spark.registry_ops2 import _events_1h
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("v"),
+    )
+    # float-exactness contract for the binseg cost prefix sums: every
+    # per-series Σ of y, y², i·y, i² must stay < 2^53 so numpy's float64
+    # cumsums equal the oracle's exact BIGINT prefixes bit-for-bit
+    from pyspark.sql import Window as W
+
+    i_col = F.row_number().over(
+        W.partitionBy("event_type").orderBy("bucket_ts")
+    ) - 1
+    chk = s.withColumn("i", i_col).groupBy("event_type").agg(
+        F.greatest(
+            F.sum(F.abs("v")), F.sum(F.col("v") * F.col("v")),
+            F.sum(F.col("i") * F.abs(F.col("v"))),
+            F.sum(F.col("i").cast("double") * F.col("i")),
+        ).alias("mx")
+    ).agg(F.max("mx")).collect()[0][0]
+    if chk is None or chk >= 2.0**53:
+        raise ValueError(
+            f"changepoints_trend_1h: prefix-sum magnitude {chk} breaks "
+            "the 2^53 float-exactness contract with the oracle"
+        )
+    t = ChangePointsTrend(
+        in_col="v", n_bkps=4, min_size=12,
+        series_cols=("event_type",), ts_col="bucket_ts",
+        tie_break="start", solver="cramer", step_seconds=3600,
+    ).fit(s)
+    resid = t.transform(s)
+    return resid.select(
+        "event_type",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        (F.round("v", 6) + F.lit(0.0)).alias("resid"),
+    )
+
+
+_AUTO_LAGS = [6, 12, 24]
+
+_AUTO_SELECT_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg
+), spine AS (
+  SELECT et.event_type, g.bucket_ts
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+              AS bucket_ts FROM bounds) g
+), filled AS (
+  SELECT event_type, bucket_ts,
+         last_value(value_cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM spine LEFT JOIN agg USING (event_type, bucket_ts)
+), d AS (
+  SELECT event_type, CAST(epoch(bucket_ts) AS BIGINT) AS be, v
+  FROM filled WHERE v IS NOT NULL
+), cand AS (
+""" + "\n  UNION ALL ".join(
+    f"SELECT {i} AS idx, 'naive_{lag}' AS name, {lag} AS lagn"
+    for i, lag in enumerate(_AUTO_LAGS)
+) + """
+), test AS (
+  SELECT d.event_type, d.be, d.v
+  FROM d CROSS JOIN bounds b
+  WHERE d.be > epoch(b.mx) - 18 * 3600
+), pairs AS (
+  SELECT c.idx, c.name, t.v, p.v AS pred
+  FROM cand c
+  JOIN test t ON TRUE
+  JOIN d p ON p.event_type = t.event_type
+          AND p.be = t.be - 3600 * c.lagn
+), scored AS (
+  SELECT idx, name,
+         CAST(sum(abs(v - pred)) AS BIGINT) AS sum_abs_err,
+         count(*) AS n_points
+  FROM pairs GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(sum_abs_err AS DOUBLE) / n_points ASC, idx ASC)
+       AS INTEGER) AS rank,
+       name, sum_abs_err, CAST(n_points AS BIGINT) AS n_points,
+       round(CAST(sum_abs_err AS DOUBLE) / n_points, 6) + 0.0 AS score
+FROM scored
+"""
+
+
+@register("auto_select_1h", _AUTO_SELECT_SQL)
+def q_auto_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pipeline auto-selection (reference auto/auto.py
+    Auto.fit:163-257 under a fixed trial list — see plans/auto.py):
+    assemble a naive(6)/naive(12)/naive(24) pool with assemble_pipelines,
+    backtest each over 3 rolling-origin folds on the dense hourly
+    integer-cent series, rank by micro-MAE with a pool-index tie-break.
+    Seasonality ≥ horizon keeps every fold forecast a pure time lag, so
+    the oracle replays fold slicing, scoring, and the argmin ranking as
+    plain SQL — the full selection decision is value-checked, not just
+    one candidate's metrics."""
+    from etna_spark.plans.auto import AutoSelect
+    from etna_spark.plans.pipeline import assemble_pipelines, naive_model
+    from etna_spark.registry_ops5 import _dense_1h
+
+    dense = _dense_1h(spark, sf_dir)
+    pool = assemble_pipelines(
+        models=[naive_model(lag) for lag in _AUTO_LAGS],
+        transforms=[], horizons=6,
+        in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+        step_seconds=3600,
+    )
+    sel = AutoSelect(
+        pool, names=[f"naive_{lag}" for lag in _AUTO_LAGS], n_folds=3,
+    ).fit(dense)
+    return sel.leaderboard(spark)
+
+
+_PPM_W, _PPM_H = 16, 12
+_PPM_MIX = 1_000_003
+
+_PPM_SQL = f"""
+WITH px AS (
+  SELECT d.doc_id, t.k,
+    ((d.doc_id + 1) * {_PPM_MIX} + t.k) % 256 AS v
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, {_PPM_W * _PPM_H * 3})) AS k) t
+), sums AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+    CAST(sum(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+    CAST(sum(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+  FROM px GROUP BY 1
+)
+SELECT doc_id, {_PPM_W} AS width, {_PPM_H} AS height,
+       sum_r, sum_g, sum_b,
+       round(CAST(sum_r AS DOUBLE) / {float(_PPM_W * _PPM_H)}, 6) + 0.0
+         AS mean_r
+FROM sums
+"""
+
+
+@register("multimodal_ppm_decode", _PPM_SQL)
+def q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the value gate (data/multimodal.py:
+    decode_ppm — retires the decode stub for the one self-contained
+    format): every document gets a synthetic 16×12 binary PPM whose
+    interleaved raster bytes follow an arithmetic recipe of its doc_id;
+    the engine ENCODES the image (ASCII header with a comment line +
+    raw RGB raster), DECODES it back through the pure-numpy P6 parser
+    inside mapInPandas, and emits per-channel integer pixel sums. The
+    oracle computes the same sums from the recipe alone — green means
+    header serialization, comment/whitespace parsing, raster slicing,
+    and channel de-interleaving are all bit-correct. JPEG/video keep
+    the honest NotImplementedError stub."""
+    import numpy as _np
+    import pandas as _pd
+
+    from etna_spark.sources.testdata import load_table
+
+    w, h, mix = _PPM_W, _PPM_H, _PPM_MIX
+
+    def kern(batches):
+        from etna_spark.data.multimodal import decode_ppm, encode_ppm
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "sum_r": [], "sum_g": [], "sum_b": [], "mean_r": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                raster = (
+                    ((d + 1) * mix + _np.arange(w * h * 3, dtype=_np.int64))
+                    % 256
+                ).astype(_np.uint8).reshape(h, w, 3)
+                blob = encode_ppm(raster, comment=f"doc {d}")
+                px = decode_ppm(blob)
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=_np.int64)
+                rows["doc_id"].append(d)
+                rows["width"].append(px.shape[1])
+                rows["height"].append(px.shape[0])
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+                rows["mean_r"].append(
+                    round(float(sums[0]) / float(w * h), 6) + 0.0
+                )
+            yield _pd.DataFrame(rows)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        kern,
+        "doc_id long, width int, height int, sum_r long, sum_g long, "
+        "sum_b long, mean_r double",
+    )

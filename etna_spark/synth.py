@@ -131,3 +131,79 @@ SELECT
   TIMESTAMP '{T0}' + INTERVAL (doc_id * {_MIX_A} % {WINDOW_SECONDS_DEFAULT}) SECOND AS event_ts
 FROM documents
 """
+
+
+def corpus_table(
+    spark: SparkSession,
+    n_docs: int,
+    n_words: int = 40,
+    vocab: int = 50_000,
+    dup_mod: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic text corpus for dedup benchmarks.
+
+    ``doc_id``, ``text`` (``n_words`` hash-derived vocab words). Every
+    ``dup_mod``-th document is a NEAR-COPY of its predecessor with exactly
+    one word substituted at a hash-chosen position — a planted ~97%-Jaccard
+    near-duplicate population (10% of the corpus) for the MinHash/LSH
+    path. Pure JVM expressions (xxhash64 → word ids), no RNG state: the
+    same recipe yields the same corpus at any scale or partitioning."""
+    rng = spark.range(0, n_docs, numPartitions=num_partitions)
+    is_dup = F.pmod(F.col("id"), F.lit(dup_mod)) == dup_mod - 1
+    base = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    df = rng.select(
+        F.col("id").alias("doc_id"), is_dup.alias("_d"), base.alias("_b")
+    )
+    word = lambda seed_col, j: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.xxhash64(seed_col, j), F.lit(vocab))
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda j: word(F.col("_b"), j),
+    )
+    pos = F.pmod(F.xxhash64("doc_id", F.lit(777)), F.lit(n_words))
+    perturbed = F.transform(
+        arr,
+        lambda w, j: F.when(
+            F.col("_d") & (j == pos),
+            word(F.col("doc_id"), F.lit(999_999)),
+        ).otherwise(w),
+    )
+    return df.select(
+        "doc_id", F.array_join(perturbed, " ").alias("text")
+    )
+
+
+def embedding_table(
+    spark: SparkSession,
+    n_vecs: int,
+    dim: int = 32,
+    dup_mod: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic embedding table for ANN/near-dup benchmarks.
+
+    ``vec_id``, ``embedding`` (array<double>, hash-derived uniform in
+    [-1, 1]). Every ``dup_mod``-th vector is its predecessor plus a tiny
+    hash-derived perturbation (cosine ≈ 0.999) — the planted near-dup
+    population the LSH tables must recall."""
+    rng = spark.range(0, n_vecs, numPartitions=num_partitions)
+    is_dup = F.pmod(F.col("id"), F.lit(dup_mod)) == dup_mod - 1
+    base = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    df = rng.select(
+        F.col("id").alias("vec_id"), is_dup.alias("_d"), base.alias("_b")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            (F.pmod(F.xxhash64(F.col("_b"), j), F.lit(2001)) - 1000)
+            / 1000.0
+            + F.when(
+                F.col("_d"),
+                (F.pmod(F.xxhash64(F.col("vec_id"), j + 5000), F.lit(21))
+                 - 10) / 10_000.0,
+            ).otherwise(F.lit(0.0))
+        ),
+    )
+    return df.select("vec_id", vec.alias("embedding"))

@@ -174,3 +174,37 @@ def test_binseg_tie_break_start_matches_order():
             assert binseg(y, 4, 12, model=model) == binseg(
                 y, 4, 12, model=model, tie_break="start"
             )
+
+
+def test_trend_cramer_solver_matches_cov(spark):
+    """solver='cramer' (integer-stat closed form on the scaled local
+    index, the oracle-replayable path) fits the SAME line as the numpy
+    covariance solver on integer-valued step-aligned input, and keeps
+    the inverse round-trip."""
+    # ×2 makes the 0.5-slope branch integer-valued on the daily grid
+    df = _pw_df(spark).withColumn("value", F.col("value") * 2)
+    kw = dict(n_bkps=5, min_size=5, series_cols=("series",), ts_col="ts")
+    base = ChangePointsTrend(tie_break="start", **kw).fit_transform(df)
+    ex = ChangePointsTrend(tie_break="start", solver="cramer",
+                           step_seconds=86400, **kw)
+    out = ex.fit_transform(df)
+    j = (
+        base.withColumnRenamed("value", "v_cov")
+        .join(out.withColumnRenamed("value", "v_cr"), on=["series", "ts"])
+        .toPandas()
+    )
+    assert len(j) == 450
+    np.testing.assert_allclose(j["v_cr"], j["v_cov"], atol=1e-6)
+    back = ex.inverse_transform(out).toPandas().set_index(["series", "ts"])
+    orig = df.toPandas().set_index(["series", "ts"])
+    np.testing.assert_allclose(
+        back["value"], orig.loc[back.index, "value"], atol=1e-9
+    )
+
+
+def test_trend_cramer_rejects_noninteger_input(spark):
+    df = _pw_df(spark).withColumn("value", F.col("value") + 0.5)
+    t = ChangePointsTrend(n_bkps=2, min_size=5, series_cols=("series",),
+                          ts_col="ts", solver="cramer", step_seconds=86400)
+    with pytest.raises(Exception, match="integer-valued"):
+        t.fit(df)._state.collect()

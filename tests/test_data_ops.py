@@ -464,3 +464,42 @@ def test_hash_stratified_sample_properties(spark):
 
     with pytest.raises(ValueError, match="must be in"):
         hash_stratified_sample(df, "doc_id", "source", {"a": 1.5})
+
+
+def test_ppm_codec_roundtrip_and_grammar():
+    """decode_ppm is a real parser: roundtrip, comment/whitespace grammar,
+    and loud failures on malformed input (multimodal.py)."""
+    from etna_spark.data.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    assert np.array_equal(decode_ppm(encode_ppm(px, comment="hi")), px)
+    # spec grammar: comments between any header tokens, mixed whitespace
+    raw = b"P6 # c1\n# c2\n 9\t5 # wide\n 255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(raw), px)
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        decode_ppm(encode_ppm(px)[:-1])
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"P5 9 5 255\n" + px.tobytes())
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_ppm(b"P6 2 2 65535\n" + bytes(24))
+
+
+def test_extract_features_decodes_ppm_under_raise_stub(spark):
+    """The raise stub no longer fires for the self-contained PPM format:
+    features come from the REAL pixels; other mimes still raise."""
+    from etna_spark.data.multimodal import MEDIA_SCHEMA, encode_ppm
+
+    px = np.full((4, 6, 3), 100, dtype=np.uint8)
+    px[:, :, 0] = 200  # red-heavy so the mean is distinguishable
+    rows = [("m0", "image", bytearray(encode_ppm(px)),
+             "image/x-portable-pixmap", 6, 4, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media, decode_stub="raise").collect()
+    assert len(feats) == 1
+    expected = (200 + 100 + 100) / 3.0 / 255.0
+    assert abs(feats[0]["feat_mean"] - expected) < 1e-6
+    other = synth_media_table(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|unavailable"):
+        extract_features(other, decode_stub="raise").collect()

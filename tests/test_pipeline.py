@@ -250,3 +250,38 @@ def test_assemble_pipelines_broadcasting(spark):
             [naive_model(1), naive_model(7)], [shared], [1, 2, 3],
             in_col="value", series_cols=("series",), ts_col="ts",
         )
+
+
+def test_auto_select_picks_known_winner(spark):
+    """AutoSelect (plans/auto.py — reference Auto.fit grid reduction): on
+    a 24h-periodic integer series, naive(24) beats naive(23) and the
+    leaderboard ranks deterministically with exact integer numerators."""
+    import datetime as dt
+
+    from etna_spark.plans.auto import AutoSelect
+    from etna_spark.plans.pipeline import assemble_pipelines
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + dt.timedelta(hours=i), float(100 + (i % 24)))
+        for i in range(24 * 10)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, v double")
+    pool = assemble_pipelines(
+        models=[naive_model(23), naive_model(24)], transforms=[],
+        horizons=6, in_col="v", series_cols=("series",), ts_col="ts",
+        step_seconds=3600,
+    )
+    sel = AutoSelect(pool, names=["naive_23", "naive_24"], n_folds=2).fit(df)
+    assert sel.best_index_ == 1
+    lb = {r["name"]: r for r in sel.leaderboard(spark).collect()}
+    assert lb["naive_24"]["rank"] == 1 and lb["naive_24"]["sum_abs_err"] == 0
+    assert lb["naive_23"]["sum_abs_err"] > 0
+    # tie-break by pool index: two identical candidates rank by position
+    pool2 = assemble_pipelines(
+        models=[naive_model(24), naive_model(24)], transforms=[],
+        horizons=6, in_col="v", series_cols=("series",), ts_col="ts",
+        step_seconds=3600,
+    )
+    sel2 = AutoSelect(pool2, names=["first", "second"], n_folds=2).fit(df)
+    assert sel2.best_index_ == 0
