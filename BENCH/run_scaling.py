@@ -174,6 +174,12 @@ def main() -> None:
         f"- The {args.rows:,}-row input keeps the LOW level ≥ 2 minutes so "
         "per-job constants stay <3% of its wall.",
         "",
+        "## Skew stress",
+        "",
+        "Hot-key join (one source = 50% of rows): salted vs AQE vs naive "
+        "wall times and the honest AQE-vs-salt conclusion are in "
+        "`BENCH/SKEW.md` (generated by `BENCH/skew_stress.py`).",
+        "",
         "## Storage codec",
         "",
         f"Gorilla: {hi['gorilla_bytes_per_point']:.2f} bytes/point on the 1m "

@@ -14,7 +14,11 @@ Workload: the north-rule pipeline over the deterministic synthetic token
 table (FIXTURES.md §A recipe; 64 zipf-skewed sources over a 7-day window) —
 tier cascade 1m→1h→1d, spine gap-fill (ffill + interpolation), trailing
 window features, salted rollup of the hot keys, Gorilla encode of the 1m
-tier, plus the events-table rollup+interp at the given sf.
+tier, plus the events-table rollup+interp at the given sf, plus the
+LLM-data-pipeline path: MinHash+LSH near-dup over a synthetic corpus
+(SPARK_GRAFT_BENCH_DOCS, default 1M docs with a planted 10% near-dup
+population) and multi-table hyperplane-LSH embedding near-dup over a
+synthetic vector table (SPARK_GRAFT_BENCH_VECS, default 1M × dim 32).
 
 The token table is materialized to parquet ONCE (untimed — a real deployment
 READS its input); the timed pipeline starts at the scan. Input splits are

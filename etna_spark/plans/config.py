@@ -46,6 +46,12 @@ ALIASES: dict[str, str] = {
         "etna_spark.plans.pipeline.SeasonalMovingAverageModel",
     "etna.models.DeadlineMovingAverageModel":
         "etna_spark.plans.pipeline.DeadlineMovingAverageModel",
+    "etna.models.HoltWintersModel":
+        "etna_spark.plans.pipeline.HoltWintersModel",
+    # the reference has no AR-only linear model class; its per-segment
+    # sklearn LinearRegression adapter maps to the exact AR(2) core
+    "etna.models.LinearPerSegmentModel":
+        "etna_spark.plans.pipeline.LinearARModel",
     "etna.transforms.LagTransform": "etna_spark.operators.lags.LagTransform",
     "etna.transforms.DifferencingTransform":
         "etna_spark.operators.differencing.Differencing",

@@ -306,6 +306,10 @@ class Pipeline:
         ctx = train.select(*self.series_cols, ts_col, in_col)
         full = ctx.unionByName(future)
         time_aware = hasattr(model, "kernel_ts")
+        if return_components and not getattr(model, "supports_components", True):
+            raise NotImplementedError(
+                "target components are not supported for this model"
+            )
         if return_components:
             lags = (
                 list(range(1, model.window + 1))
@@ -320,7 +324,9 @@ class Pipeline:
             [f"`{f.name}` {f.dataType.simpleString()}" for f in full.schema]
             + [f"`{c}` double" for c in comp_cols]
         )
-        window = model.window
+        # only component paths need a window; non-windowed models (HW, AR)
+        # declare supports_components = False so lags is always [] here
+        window = getattr(model, "window", None)
 
         def fc(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
@@ -700,3 +706,175 @@ def assemble_pipelines(models, transforms, horizons, **pipeline_kwargs):
                  **pipeline_kwargs)
         for m, t, h in zip(models, per_pipeline, horizons)
     ]
+
+
+class HoltWintersModel:
+    """Additive Holt-Winters (triple exponential smoothing), from scratch.
+
+    Reference: ``HoltWintersModel`` (/root/reference/etna/models/
+    holt_winters.py:466) wraps statsmodels' ExponentialSmoothing; this
+    implements the classic additive Hyndman formulation directly, with the
+    textbook heuristic initialization (level = mean of season 1, trend =
+    (mean of season 2 − mean of season 1)/m, seasonals = season-1
+    deviations) and FIXED smoothing parameters — optionally grid-fitted
+    per series by one-step-ahead in-sample SSE argmin (``fit_grid``),
+    which is the deterministic core of statsmodels' parameter search.
+
+    The recursion runs in PYTHON SCALAR floats in one fixed op order
+    (``l' = α(y−s) + (1−α)(l+b)``; ``b' = β(l'−l) + (1−β)b``;
+    ``s' = γ((y−l)−b) + (1−γ)s``), so a DuckDB recursive-CTE oracle
+    replays it bit-for-bit; the per-series state is O(m)."""
+
+    supports_components = False
+
+    def __init__(
+        self,
+        seasonality: int = 24,
+        alpha: float = 0.5,
+        beta: float = 0.25,
+        gamma: float = 0.25,
+        fit_grid: Sequence[float] | None = None,
+    ):
+        if seasonality < 2:
+            raise ValueError("seasonality must be >= 2")
+        for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"{name} must be in [0, 1]")
+        self.seasonality = seasonality
+        self.alpha, self.beta, self.gamma = alpha, beta, gamma
+        self.fit_grid = list(fit_grid) if fit_grid is not None else None
+
+    @property
+    def context_size(self) -> int:
+        return 2 * self.seasonality  # init needs two full seasons
+
+    @staticmethod
+    def _run(y, m, a, b_, g):
+        """Recursion + final state; returns (l, b, s_list, sse)."""
+        l = sum(float(v) for v in y[:m]) / m
+        b = (sum(float(v) for v in y[m:2 * m]) / m - l) / m
+        s = [float(y[i]) - l for i in range(m)]
+        sse = 0.0
+        for t in range(len(y)):
+            yt = float(y[t])
+            si = t % m
+            prev_s = s[si]
+            err = yt - (l + b + prev_s)  # one-step-ahead forecast error
+            sse += err * err
+            l_new = a * (yt - prev_s) + (1.0 - a) * (l + b)
+            s[si] = g * ((yt - l) - b) + (1.0 - g) * prev_s
+            b = b_ * (l_new - l) + (1.0 - b_) * b
+            l = l_new
+        return l, b, s, sse
+
+    def kernel(self, y: np.ndarray, n_future: int) -> np.ndarray:
+        y = np.asarray(y, dtype=np.float64)
+        if np.isnan(y).any():
+            raise ValueError("HoltWintersModel requires a gap-filled series")
+        m = self.seasonality
+        n = len(y)
+        if n < 2 * m:
+            raise ValueError(
+                f"need >= {2 * m} points (two seasons) to initialize, got {n}"
+            )
+        if self.fit_grid is not None:
+            # deterministic grid argmin on in-sample SSE; ties break by
+            # grid order (itertools-style row-major: alpha, beta, gamma)
+            best = None
+            for a in self.fit_grid:
+                for b_ in self.fit_grid:
+                    for g in self.fit_grid:
+                        sse = self._run(y, m, a, b_, g)[3]
+                        if best is None or sse < best[0]:
+                            best = (sse, a, b_, g)
+            _, a, b_, g = best
+        else:
+            a, b_, g = self.alpha, self.beta, self.gamma
+        l, b, s, _ = self._run(y, m, a, b_, g)
+        out = np.empty(n_future)
+        for h in range(1, n_future + 1):
+            out[h - 1] = l + h * b + s[(n - 1 + h) % m]
+        return out
+
+
+class LinearARModel:
+    """Per-segment linear autoregression AR(2) with intercept, fitted by
+    exact normal equations.
+
+    Reference: the per-segment sklearn ``LinearRegression`` adapters
+    (/root/reference/etna/models/linear.py:53-202) fit one linear model
+    per segment on lag features; this is that family's from-scratch
+    autoregressive core. The design is (1, y[t−1], y[t−2]) → y[t]; the
+    normal-equation sufficient statistics are EXACT int64 sums on
+    integer-valued series, and the 3×3 system is solved by the same
+    first-row-minor Cramer chain as StackingEnsemble's exact solver —
+    one fixed scalar-float op order, so a DuckDB oracle replays the fit
+    AND the autoregressive forecast recursion bit-for-bit. p is fixed at
+    2 (the exact-chain shape); use the general feature pipeline + MLlib
+    for wider designs."""
+
+    supports_components = False
+
+    def __init__(self):
+        self.seasonality = 1  # protocol attr (context stride)
+
+    @property
+    def context_size(self) -> int:
+        return 2
+
+    @staticmethod
+    def fit_coeffs(y) -> tuple[float, float, float]:
+        """(intercept, phi1, phi2) from exact integer sufficient stats."""
+        yi = [int(v) for v in y]
+        if any(float(a) != float(b) for a, b in zip(yi, y)):
+            raise ValueError(
+                "LinearARModel requires an integer-valued series (use "
+                "cent-scaled input) for the exact normal equations"
+            )
+        rows = [(yi[t - 1], yi[t - 2], yi[t]) for t in range(2, len(yi))]
+        n = len(rows)
+        if n < 3:
+            raise ValueError("need >= 5 points to fit AR(2)")
+        s1 = sum(r[0] for r in rows); s2 = sum(r[1] for r in rows)
+        s11 = sum(r[0] * r[0] for r in rows)
+        s22 = sum(r[1] * r[1] for r in rows)
+        s12 = sum(r[0] * r[1] for r in rows)
+        sy = sum(r[2] for r in rows)
+        s1y = sum(r[0] * r[2] for r in rows)
+        s2y = sum(r[1] * r[2] for r in rows)
+        a = [[float(n), float(s1), float(s2)],
+             [float(s1), float(s11), float(s12)],
+             [float(s2), float(s12), float(s22)]]
+        b = [float(sy), float(s1y), float(s2y)]
+        # first-row minor expansion, the exact chain StackingEnsemble uses
+        m00 = a[1][1] * a[2][2] - a[1][2] * a[2][1]
+        m01 = a[1][0] * a[2][2] - a[1][2] * a[2][0]
+        m02 = a[1][0] * a[2][1] - a[1][1] * a[2][0]
+        det = a[0][0] * m00 - a[0][1] * m01 + a[0][2] * m02
+        if det == 0.0:
+            raise NotImplementedError(
+                "singular AR(2) design (constant/collinear series)"
+            )
+        d0 = (b[0] * m00
+              - a[0][1] * (b[1] * a[2][2] - a[1][2] * b[2])
+              + a[0][2] * (b[1] * a[2][1] - a[1][1] * b[2]))
+        d1 = (a[0][0] * (b[1] * a[2][2] - a[1][2] * b[2])
+              - b[0] * m01
+              + a[0][2] * (a[1][0] * b[2] - b[1] * a[2][0]))
+        d2 = (a[0][0] * (a[1][1] * b[2] - b[1] * a[2][1])
+              - a[0][1] * (a[1][0] * b[2] - b[1] * a[2][0])
+              + b[0] * m02)
+        return d0 / det, d1 / det, d2 / det
+
+    def kernel(self, y: np.ndarray, n_future: int) -> np.ndarray:
+        y = np.asarray(y, dtype=np.float64)
+        if np.isnan(y).any():
+            raise ValueError("LinearARModel requires a gap-filled series")
+        c, p1, p2 = self.fit_coeffs(y)
+        prev1, prev2 = float(y[-1]), float(y[-2])
+        out = np.empty(n_future)
+        for h in range(n_future):
+            nxt = c + p1 * prev1 + p2 * prev2
+            out[h] = nxt
+            prev1, prev2 = nxt, prev1
+        return out

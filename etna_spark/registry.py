@@ -336,6 +336,9 @@ _WINDOW_ORDER = [
     "streaming_anomaly_1m",
     "auto_select_1h",
     "multimodal_ppm_decode",
+    "tok_pack_blocks",
+    "tok_decontam_8gram",
+    "tok_ngram_novelty",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
@@ -354,6 +357,8 @@ _WINDOW_ORDER = [
     "tier_lineage_ledger",
     "train_test_split_1h",
     # twice-recorded family representatives (north-rule tiers/streaming,
+    # pipelines/ensembles rotate: voting/direct/eda_correlation sat out r5
+    # for the three new token ops; stacking represents the ensemble solve)
     # pipelines/ensembles/hierarchy, selection, clustering, embeddings)
     "tok_rollup_1m",
     "tok_rollup_1h",
@@ -363,8 +368,6 @@ _WINDOW_ORDER = [
     "tier_retention_1m",
     "backtest_metrics_naive_1h",
     "ensemble_stacking_1h",
-    "ensemble_voting_1h",
-    "ensemble_direct_1h",
     "hierarchy_reconcile_topdown",
     "hierarchy_pipeline_topdown",
     "pipeline_autoregressive_1h",
@@ -379,9 +382,11 @@ _WINDOW_ORDER = [
     "embedding_window_1h",
     "embedding_segment_1h",
     "metrics_interval_1h",
-    "eda_correlation_matrix",
-    "exog_shift_auto_1h",
-    "event_proximity_1h",
+    # r5-new from-scratch model-zoo forecasts take the
+    # exog_shift_auto_1h / event_proximity_1h slots (both twice-recorded;
+    # they stay registered + recorded in FULLSURFACE)
+    "holt_winters_forecast_1h",
+    "linear_ar_forecast_1h",
 ]
 
 

@@ -480,3 +480,344 @@ def q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, sum_r long, sum_g long, "
         "sum_b long, mean_r double",
     )
+
+
+def _holt_winters_sql(m: int, horizon: int, alpha: float, beta: float,
+                      gamma: float) -> str:
+    """DuckDB twin of HoltWintersModel (plans/pipeline.py): heuristic
+    two-season init, then the additive recursion unrolled as a recursive
+    CTE carrying (level, trend, seasonal-list) per step — every float op
+    in the same order as the kernel's Python-scalar chain."""
+    al, omal = repr(alpha), repr(1.0 - alpha)
+    bt, ombt = repr(beta), repr(1.0 - beta)
+    ga, omga = repr(gamma), repr(1.0 - gamma)
+    return f"""
+WITH RECURSIVE agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg
+), spine AS (
+  SELECT et.event_type, g.bucket_ts
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+              AS bucket_ts FROM bounds) g
+), filled AS (
+  SELECT event_type, bucket_ts,
+         last_value(value_cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM spine LEFT JOIN agg USING (event_type, bucket_ts)
+), pts AS (
+  SELECT event_type AS s,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1
+           AS i,
+         bucket_ts, v AS y
+  FROM filled WHERE v IS NOT NULL
+), sizes AS (
+  SELECT s, count(*) AS n, max(bucket_ts) AS mxb FROM pts GROUP BY s
+), init AS (
+  SELECT s,
+    CAST(sum(CASE WHEN i < {m} THEN y END) AS DOUBLE) / {m} AS l0,
+    (CAST(sum(CASE WHEN i >= {m} AND i < {2 * m} THEN y END) AS DOUBLE)
+       / {m}
+     - CAST(sum(CASE WHEN i < {m} THEN y END) AS DOUBLE) / {m}) / {m}
+      AS b0
+  FROM pts GROUP BY s
+), s0 AS (
+  SELECT p.s, list(CAST(p.y AS DOUBLE) - i.l0 ORDER BY p.i) AS sl
+  FROM pts p JOIN init i ON i.s = p.s WHERE p.i < {m} GROUP BY p.s
+), hw AS (
+  SELECT i.s, -1 AS t, i.l0 AS l, i.b0 AS b, s0.sl AS sl
+  FROM init i JOIN s0 USING (s)
+  UNION ALL
+  SELECT q.s, q.t,
+    q.lnew AS l,
+    {bt} * (q.lnew - q.l_old) + {ombt} * q.b_old AS b,
+    list_transform(range(1, {m + 1}), j -> CASE WHEN j = q.si + 1
+        THEN {ga} * ((q.y - q.l_old) - q.b_old) + {omga} * q.sl_old[j]
+        ELSE q.sl_old[j] END) AS sl
+  FROM (
+    SELECT h.s, h.t + 1 AS t, h.l AS l_old, h.b AS b_old, h.sl AS sl_old,
+           CAST(p.y AS DOUBLE) AS y, (h.t + 1) % {m} AS si,
+           {al} * (CAST(p.y AS DOUBLE) - h.sl[(h.t + 1) % {m} + 1])
+             + {omal} * (h.l + h.b) AS lnew
+    FROM hw h
+    JOIN pts p ON p.s = h.s AND p.i = h.t + 1
+  ) q
+), last_state AS (
+  SELECT h.s, h.l, h.b, h.sl, z.n, z.mxb
+  FROM hw h JOIN sizes z USING (s) WHERE h.t = z.n - 1
+)
+SELECT ls.s AS event_type,
+  CAST(epoch(ls.mxb) + hs.h * 3600 AS BIGINT) AS bucket_ts,
+  round(ls.l + hs.h * ls.b + ls.sl[(ls.n - 1 + hs.h) % {m} + 1], 6) + 0.0
+    AS pred
+FROM last_state ls
+CROSS JOIN (SELECT unnest(range(1, {horizon + 1})) AS h) hs
+"""
+
+
+@register("holt_winters_forecast_1h", _holt_winters_sql(24, 12, 0.5, 0.25, 0.25))
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch additive Holt-Winters forecast (plans/pipeline.py::
+    HoltWintersModel — reference models/holt_winters.py:466 wraps
+    statsmodels; this is the classic Hyndman recursion with heuristic
+    two-season init and fixed dyadic smoothing 0.5/0.25/0.25): Pipeline
+    fit + 12-step forecast on the dense hourly integer-cent series. The
+    oracle replays the ENTIRE recursion (level/trend/seasonal-list state)
+    as a DuckDB recursive CTE with the identical scalar float chain —
+    every forecast value must match bit-for-bit at round6. The per-series
+    grid-SSE parameter fit is pinned separately by pytest."""
+    from etna_spark.plans.pipeline import HoltWintersModel, Pipeline
+    from etna_spark.registry_ops5 import _dense_1h
+
+    dense = _dense_1h(spark, sf_dir)
+    p = Pipeline(
+        model=HoltWintersModel(seasonality=24, alpha=0.5, beta=0.25,
+                               gamma=0.25),
+        horizon=12, step_seconds=3600,
+        in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit(dense)
+    out = p.forecast()
+    return out.select(
+        "event_type",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        (F.round("v", 6) + F.lit(0.0)).alias("pred"),
+    )
+
+
+_DENSE_PTS_CTE = """
+WITH RECURSIVE agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg
+), spine AS (
+  SELECT et.event_type, g.bucket_ts
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+              AS bucket_ts FROM bounds) g
+), filled AS (
+  SELECT event_type, bucket_ts,
+         last_value(value_cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM spine LEFT JOIN agg USING (event_type, bucket_ts)
+), pts AS (
+  SELECT event_type AS s,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1
+           AS i,
+         bucket_ts, v AS y
+  FROM filled WHERE v IS NOT NULL
+), sizes AS (
+  SELECT s, count(*) AS n, max(bucket_ts) AS mxb FROM pts GROUP BY s
+)"""
+
+_LINEAR_AR_SQL = _DENSE_PTS_CTE + """
+, lr AS (
+  SELECT s, y AS yt,
+         lag(y, 1) OVER w AS x1, lag(y, 2) OVER w AS x2
+  FROM pts WINDOW w AS (PARTITION BY s ORDER BY i)
+), st AS (
+  SELECT s, CAST(count(*) AS DOUBLE) AS n,
+    CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS s1,
+    CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS s2,
+    CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+    CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+    CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+    CAST(CAST(sum(yt) AS BIGINT) AS DOUBLE) AS sy,
+    CAST(CAST(sum(x1 * yt) AS BIGINT) AS DOUBLE) AS s1y,
+    CAST(CAST(sum(x2 * yt) AS BIGINT) AS DOUBLE) AS s2y
+  FROM lr WHERE x2 IS NOT NULL GROUP BY s
+), mnr AS (
+  -- LinearARModel.fit_coeffs minor chain, op-for-op
+  SELECT s, n, s1, s2, sy,
+    s11 * s22 - s12 * s12 AS m00,
+    s1 * s22 - s12 * s2 AS m01,
+    s1 * s12 - s11 * s2 AS m02,
+    s1y * s22 - s12 * s2y AS e1,
+    s1 * s2y - s1y * s2 AS e2,
+    s11 * s2y - s1y * s12 AS e3,
+    s1y * s12 - s11 * s2y AS e4
+  FROM st
+), coef AS (
+  SELECT s,
+    (sy * m00 - s1 * e1 + s2 * e4)
+      / (n * m00 - s1 * m01 + s2 * m02) AS c0,
+    (n * e1 - sy * m01 + s2 * e2)
+      / (n * m00 - s1 * m01 + s2 * m02) AS p1,
+    (n * e3 - s1 * e2 + sy * m02)
+      / (n * m00 - s1 * m01 + s2 * m02) AS p2
+  FROM mnr
+), lastvals AS (
+  SELECT p.s, z.mxb,
+    max(CASE WHEN p.i = z.n - 1 THEN CAST(p.y AS DOUBLE) END) AS prev1,
+    max(CASE WHEN p.i = z.n - 2 THEN CAST(p.y AS DOUBLE) END) AS prev2
+  FROM pts p JOIN sizes z USING (s) GROUP BY p.s, z.mxb
+), fc AS (
+  SELECT c.s, 0 AS h, l.prev1, l.prev2, l.mxb
+  FROM coef c JOIN lastvals l USING (s)
+  UNION ALL
+  SELECT f.s, f.h + 1,
+    c.c0 + c.p1 * f.prev1 + c.p2 * f.prev2 AS prev1,
+    f.prev1, f.mxb
+  FROM fc f JOIN coef c USING (s) WHERE f.h < 12
+)
+SELECT s AS event_type,
+  CAST(epoch(mxb) + h * 3600 AS BIGINT) AS bucket_ts,
+  round(prev1, 6) + 0.0 AS pred
+FROM fc WHERE h >= 1
+"""
+
+
+@register("linear_ar_forecast_1h", _LINEAR_AR_SQL)
+def q_linear_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment linear autoregression (plans/pipeline.py::LinearARModel
+    — the from-scratch core of the reference's per-segment sklearn linear
+    adapters, models/linear.py:53-202): AR(2)+intercept fitted per series
+    by EXACT integer normal equations solved with the fixed Cramer minor
+    chain, then a 12-step autoregressive forecast. The oracle recomputes
+    the sufficient statistics as BIGINT aggregates (exact under any
+    order), replays the identical scalar-float solve, and unrolls the
+    forecast recursion as a recursive CTE — fit AND recursion are both
+    under the value gate."""
+    from etna_spark.plans.pipeline import LinearARModel, Pipeline
+    from etna_spark.registry_ops5 import _dense_1h
+
+    dense = _dense_1h(spark, sf_dir)
+    p = Pipeline(
+        model=LinearARModel(), horizon=12, step_seconds=3600,
+        in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit(dense)
+    out = p.forecast()
+    return out.select(
+        "event_type",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        (F.round("v", 6) + F.lit(0.0)).alias("pred"),
+    )
+
+
+_PACK_B = 512
+
+_PACK_SQL = _TOK_CTE + f"""
+, off AS (
+  SELECT doc_id, tokens, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+              AS BIGINT) AS sgpos
+  FROM tok
+), ex0 AS (
+  SELECT doc_id, sgpos, tokens,
+         unnest(range(0, CAST(n_tok AS BIGINT))) AS j
+  FROM off
+), ex AS (
+  SELECT doc_id, sgpos + j AS gpos,
+         CAST(tokens[CAST(j + 1 AS INTEGER)] AS BIGINT) AS token
+  FROM ex0
+)
+SELECT CAST(gpos // {_PACK_B} AS BIGINT) AS block_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(token) AS BIGINT) AS tok_sum,
+       CAST(sum(token * ((gpos % {_PACK_B}) + 1)) AS BIGINT) AS pos_checksum
+FROM ex GROUP BY 1
+"""
+
+
+@register("tok_pack_blocks", _PACK_SQL)
+def q_tok_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (data/packing.py::pack_sequences): the
+    token table concatenated in doc_id order and chunked into 512-token
+    training blocks via the two-phase distributed prefix sum — no global
+    single-task window anywhere in the plan. The oracle replays the same
+    concatenation with a single-threaded DuckDB window + unnest and checks
+    per-block token count, contributing-doc count, token sum, and a
+    position-weighted checksum that flips under ANY within-block reorder —
+    so document order, split points, and slice reassembly are all under
+    the value gate. (The reference has no packing op; its unit is the
+    aligned series segment. Integer bounds: vocab < 2^16, block 512,
+    gpos < 2^21 at any tested sf — every product is far inside int64.)"""
+    from etna_spark.data.packing import block_checksums, pack_sequences
+
+    tt = doc_token_table(spark, sf_dir)
+    packed = pack_sequences(
+        tt, block_size=_PACK_B, id_col="doc_id", num_partitions=16
+    )
+    return block_checksums(packed)
+
+
+_DECONTAM_SQL = _TOK_CTE + """
+, grams AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(n_tok - 7 AS BIGINT)),
+           j -> array_to_string(tokens[j + 1 : j + 8], ',')) AS gs
+  FROM tok
+), ex AS (
+  SELECT doc_id, unnest(gs) AS gram FROM grams
+), bench AS (
+  SELECT DISTINCT gram FROM ex WHERE doc_id % 31 = 0
+), tr AS (
+  SELECT DISTINCT doc_id, gram FROM ex WHERE doc_id % 31 <> 0
+)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM tr JOIN bench USING (gram)
+GROUP BY 1
+"""
+
+
+@register("tok_decontam_8gram", _DECONTAM_SQL)
+def q_tok_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (data/contamination.py::
+    benchmark_contamination — the GPT-3 appendix-C / PaLM 13-gram-overlap
+    check, here 8-grams): the deterministic ``doc_id % 31 == 0`` slice of
+    the token table plays the held-out eval set; every training doc
+    sharing any exact token 8-gram with it is flagged with its distinct
+    shared-gram count. Candidates come ONLY from the broadcast equi-join
+    on the gram key. The synthetic recipe makes this non-trivial: the
+    affine token formula gives two docs a shared gram exactly when
+    (Δdoc·M ≡ Δoffset·C mod 50257) lands in the overlap range, ~2% of
+    doc pairs."""
+    from etna_spark.data.contamination import benchmark_contamination
+
+    tt = doc_token_table(spark, sf_dir)
+    bench = tt.filter(F.col("doc_id") % 31 == 0)
+    train = tt.filter(F.col("doc_id") % 31 != 0)
+    return benchmark_contamination(train, bench, n=8)
+
+
+_NOVELTY_SQL = _TOK_CTE + """
+, grams AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(n_tok - 3 AS BIGINT)),
+           j -> array_to_string(tokens[j + 1 : j + 4], ',')) AS gs
+  FROM tok
+), ex AS (
+  SELECT doc_id, unnest(gs) AS gram FROM grams
+), fs AS (
+  SELECT gram, min(doc_id) AS first_doc FROM ex GROUP BY 1
+)
+SELECT ex.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+FROM ex JOIN fs USING (gram)
+GROUP BY 1
+"""
+
+
+@register("tok_ngram_novelty", _NOVELTY_SQL)
+def q_tok_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token 4-gram novelty (data/contamination.py::
+    ngram_novelty): how many of a doc's gram positions hold a gram whose
+    corpus-wide FIRST occurrence (min doc_id) is this doc — the
+    duplication-aware freshness signal used to down-weight heavily
+    duplicated documents in mixing. Shape: explode → min-agg per gram
+    (map-side partial) → shuffle join back; integer counts only."""
+    from etna_spark.data.contamination import ngram_novelty
+
+    return ngram_novelty(doc_token_table(spark, sf_dir), n=4)

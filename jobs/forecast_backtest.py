@@ -44,6 +44,16 @@ def build_model(args):
         return DeadlineMovingAverageModel(
             window=args.window, seasonality=args.deadline_seasonality
         )
+    if args.model == "holt_winters":
+        from etna_spark.plans.pipeline import HoltWintersModel
+
+        return HoltWintersModel(seasonality=args.seasonality,
+                                alpha=args.hw_alpha, beta=args.hw_beta,
+                                gamma=args.hw_gamma)
+    if args.model == "linear_ar":
+        from etna_spark.plans.pipeline import LinearARModel
+
+        return LinearARModel()
     raise SystemExit(f"unknown model '{args.model}'")
 
 
@@ -58,8 +68,12 @@ def main() -> None:
                          "--model/--window/... flags")
     ap.add_argument("--model", default="naive",
                     choices=["naive", "moving_average", "seasonal_ma",
+                             "holt_winters", "linear_ar",
                              "deadline_ma"])
     ap.add_argument("--window", type=int, default=1)
+    ap.add_argument("--hw-alpha", type=float, default=0.5)
+    ap.add_argument("--hw-beta", type=float, default=0.25)
+    ap.add_argument("--hw-gamma", type=float, default=0.25)
     ap.add_argument("--seasonality", type=int, default=1)
     ap.add_argument("--deadline-seasonality", default="month")
     ap.add_argument("--horizon", type=int, default=7)

@@ -285,3 +285,104 @@ def test_auto_select_picks_known_winner(spark):
     )
     sel2 = AutoSelect(pool2, names=["first", "second"], n_folds=2).fit(df)
     assert sel2.best_index_ == 0
+
+
+def test_holt_winters_tracks_trend_plus_seasonality(spark):
+    """HoltWintersModel (from-scratch additive triple smoothing, reference
+    holt_winters.py:466 semantics): on linear-trend + periodic data the
+    grid-fitted forecast lands within a tight band of the true
+    continuation, and the fixed-parameter Pipeline path runs end-to-end
+    per series with state riding in the group kernel."""
+    import datetime as dt
+
+    from etna_spark.plans.pipeline import HoltWintersModel, Pipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+    season = [5.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0]
+    rows = [
+        (s, t0 + dt.timedelta(days=i),
+         base + 2.0 * i + season[i % 7])
+        for s, base in (("a", 0.0), ("b", 100.0))
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, v double")
+    p = Pipeline(
+        model=HoltWintersModel(seasonality=7, fit_grid=[0.25, 0.5, 0.75]),
+        horizon=7, step_seconds=86400,
+        in_col="v", series_cols=("series",), ts_col="ts",
+    ).fit(df)
+    out = p.forecast().collect()
+    assert len(out) == 14
+    for r in out:
+        i = (r["ts"] - t0).days
+        base = 0.0 if r["series"] == "a" else 100.0
+        truth = base + 2.0 * i + season[i % 7]
+        assert abs(r["v"] - truth) < 0.05, (r, truth)
+
+
+def test_holt_winters_validations(spark):
+    import pytest
+
+    from etna_spark.plans.pipeline import HoltWintersModel, Pipeline
+
+    with pytest.raises(ValueError, match="alpha"):
+        HoltWintersModel(seasonality=7, alpha=1.5)
+    with pytest.raises(ValueError, match="seasonality"):
+        HoltWintersModel(seasonality=1)
+    m = HoltWintersModel(seasonality=7)
+    with pytest.raises(ValueError, match="two seasons"):
+        m.kernel(np.arange(10, dtype=float), 3)
+    with pytest.raises(ValueError, match="gap-filled"):
+        m.kernel(np.array([np.nan] * 20), 3)
+    # components are honestly unsupported (the reference's HW has none)
+    df = _panel(spark, n=28)
+    p = Pipeline(model=HoltWintersModel(seasonality=7, alpha=0.5),
+                 horizon=3, in_col="value", series_cols=("series",),
+                 ts_col="ts").fit(df)
+    with pytest.raises(NotImplementedError, match="components"):
+        p.forecast(return_components=True)
+
+
+def test_linear_ar_recovers_process(spark):
+    """LinearARModel (from-scratch per-segment linear AR core of the
+    reference's linear.py adapters): coefficients recover a noiseless
+    AR(2) process exactly, and the Pipeline forecast continues it."""
+    import datetime as dt
+
+    from etna_spark.plans.pipeline import LinearARModel, Pipeline
+
+    c, p1, p2 = 40.0, 0.5, 0.25
+    y = [400.0, 480.0]
+    for _ in range(60):
+        y.append(c + p1 * y[-1] + p2 * y[-2])
+    y = [round(v) for v in y]  # integer cents; process is near fixed point
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("s", t0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(y)],
+        "series string, ts timestamp, v double",
+    )
+    m = LinearARModel()
+    p = Pipeline(model=m, horizon=4, step_seconds=3600, in_col="v",
+                 series_cols=("series",), ts_col="ts").fit(df)
+    out = sorted(p.forecast().collect(), key=lambda r: r["ts"])
+    # continue the recursion by hand from the tail
+    prev1, prev2 = float(y[-1]), float(y[-2])
+    c0, q1, q2 = m.fit_coeffs(np.array(y, dtype=float))
+    for r in out:
+        nxt = c0 + q1 * prev1 + q2 * prev2
+        assert abs(r["v"] - nxt) < 1e-9
+        prev1, prev2 = nxt, prev1
+
+
+def test_linear_ar_validations():
+    import pytest
+
+    from etna_spark.plans.pipeline import LinearARModel
+
+    m = LinearARModel()
+    with pytest.raises(ValueError, match="integer-valued"):
+        m.fit_coeffs(np.array([1.5, 2.5, 3.5, 4.5, 5.5, 6.5]))
+    with pytest.raises(NotImplementedError, match="singular"):
+        m.fit_coeffs(np.array([7.0] * 20))
+    with pytest.raises(ValueError, match=">= 5 points"):
+        m.fit_coeffs(np.array([1.0, 2.0, 3.0, 4.0]))
