@@ -503,3 +503,119 @@ def test_extract_features_decodes_ppm_under_raise_stub(spark):
     other = synth_media_table(spark, 3)
     with pytest.raises(Exception, match="NotImplementedError|unavailable"):
         extract_features(other, decode_stub="raise").collect()
+
+
+def test_bench_corpora_planted_neardup_recall(spark):
+    """The deterministic bench corpora (synth.corpus_table /
+    embedding_table, FIXTURES.md §B6) plant every 10th row as a near-copy
+    of its predecessor; the LSH paths must recall most planted pairs and
+    the xxhash shingle mode must agree with itself across partitionings."""
+    from etna_spark.data.dedup import minhash_band_pairs, minhash_signatures
+    from etna_spark.data.similarity import embedding_neardup_pairs
+    from etna_spark.synth import corpus_table, embedding_table
+
+    corpus = corpus_table(spark, 3000, num_partitions=8)
+    sigs = minhash_signatures(corpus, num_perm=16, hash_fn="xxhash")
+    pairs = minhash_band_pairs(sigs, num_perm=16, bands=4, threshold=0.5,
+                               max_bucket=500).collect()
+    planted = {(i - 1, i) for i in range(9, 3000, 10)}
+    got = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+           for r in pairs}
+    recall = len(got & planted) / len(planted)
+    assert recall > 0.8, recall
+
+    embs = embedding_table(spark, 2000, dim=32, num_partitions=8)
+    nd = embedding_neardup_pairs(
+        embs, id_col="vec_id", vec_col="embedding", threshold=0.99,
+        n_planes=18, dim=32, n_tables=4, max_bucket=200,
+    ).collect()
+    planted_e = {(i - 1, i) for i in range(9, 2000, 10)}
+    got_e = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+             for r in nd}
+    recall_e = len(got_e & planted_e) / len(planted_e)
+    assert recall_e > 0.85, recall_e
+
+
+def test_pack_sequences_exact_and_partition_invariant(spark):
+    """pack_sequences (data/packing.py): the packed stream must equal the
+    single-threaded concatenation token-for-token, every block except the
+    last must be exactly block_size, and the result must be IDENTICAL
+    under different partition counts (the two-phase prefix sum is the
+    thing under test)."""
+    from etna_spark.data.packing import block_checksums, pack_sequences
+
+    docs = [(i, list(range(i * 100, i * 100 + n)), n)
+            for i, n in enumerate([5, 17, 1, 32, 9, 3, 64, 2, 11, 28])]
+    df = spark.createDataFrame(
+        docs, "doc_id int, tokens array<int>, n_tok int")
+    B = 16
+    expected_stream = [t for _, toks, _ in docs for t in toks]
+    out = {r["block_id"]: r for r in
+           pack_sequences(df, block_size=B, num_partitions=4).collect()}
+    n_total = len(expected_stream)
+    assert sorted(out) == list(range((n_total + B - 1) // B))
+    for b, r in sorted(out.items()):
+        assert r["tokens"] == expected_stream[b * B:(b + 1) * B]
+        if b < max(out):
+            assert r["n_tokens"] == B
+    # partition-invariance: 1 vs 4 vs 32 range partitions, same checksums
+    ref = sorted(
+        block_checksums(
+            pack_sequences(df, block_size=B, num_partitions=1)).collect())
+    for np_ in (4, 32):
+        got = sorted(
+            block_checksums(
+                pack_sequences(df, block_size=B, num_partitions=np_)
+            ).collect())
+        assert got == ref
+    # conservation: no token lost or duplicated
+    assert sum(r["n_tokens"] for r in ref) == n_total
+
+
+def test_pack_sequences_validations(spark):
+    import pytest as _pt
+
+    from etna_spark.data.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, [1, 2], 2), (2, [], 0), (3, [7], 1)],
+        "doc_id int, tokens array<int>, n_tok int")
+    with _pt.raises(ValueError, match="block_size"):
+        pack_sequences(df, block_size=0)
+    # empty docs contribute nothing but do not break offsets
+    rows = sorted(pack_sequences(df, block_size=2, num_partitions=2).collect())
+    assert [r["tokens"] for r in rows] == [[1, 2], [7]]
+
+
+def test_contamination_and_novelty_handcrafted(spark):
+    """benchmark_contamination / ngram_novelty on a corpus with known
+    overlaps, including the short-doc edge (< n tokens → zero grams, and
+    the sequence(0,-1)-descends Spark trap is guarded)."""
+    from etna_spark.data.contamination import (
+        benchmark_contamination,
+        ngram_novelty,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1, 2, 3, 4, 5])], "doc_id int, tokens array<int>")
+    train = spark.createDataFrame(
+        [
+            (1, [9, 1, 2, 3, 7]),        # shares no 3-gram with bench
+            (2, [1, 2, 3, 4, 9, 2, 3, 4, 5]),  # shares [1,2,3],[2,3,4](x2),[3,4,5]... distinct grams
+            (3, [5, 4, 3, 2, 1]),        # reversed — no shared gram
+            (4, [7, 7]),                 # shorter than n → zero grams
+        ],
+        "doc_id int, tokens array<int>")
+    got = {r["doc_id"]: r["n_shared_grams"]
+           for r in benchmark_contamination(train, bench, n=3).collect()}
+    # doc 2's grams: 123,234,349,492,923,234,345 → distinct shared: 123,234,345
+    assert got == {1: 1, 2: 3}  # doc 1 shares [1,2,3]
+    nov = {r["doc_id"]: (r["n_grams"], r["n_novel"])
+           for r in ngram_novelty(train.union(bench), n=3).collect()}
+    assert nov[4] == (0, 0) if 4 in nov else True  # zero-gram doc absent or zero
+    # doc 1 owns gram 123 first (min doc id) → novel; 912, 237 unique
+    assert nov[1] == (3, 3)
+    # doc 2: grams 123(first=1 → stale), 234, 349, 492, 923, 234, 345 —
+    # 234/345 first seen in doc 2 (bench doc 100 > 2), so only 123 is stale
+    assert nov[2] == (7, 6)
+    assert nov[100] == (3, 0)  # 123,234,345 all first-seen earlier
