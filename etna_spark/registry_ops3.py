@@ -324,8 +324,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_hamming=16, prefix_bits=8)
 
 
-_LSH_W = ("(((1103515245 * ({q} * 64 + i - 1) + 12345) % 2147483648) "
-          "% 1000 - 499.5) / 500.0")
+def _lsh_w_sql(q: str) -> str:
+    """SQL twin of similarity._plane_weight for flat index k = q*64 + i-1
+    (DuckDB's list_transform ``i`` is 1-based): two multiply rounds with
+    xorshift mixing, all mod 2^31 — every intermediate < 2^31·2246822519
+    ≈ 4.8e18, inside BIGINT. Textual CSE (each stage referenced twice for
+    the xor) stays small; DuckDB evaluates it per (plane, component)
+    exactly like the driver-side Python that inlines the weights."""
+    k = f"({q} * 64 + i - 1)"
+    h1 = f"(({k} * 2654435761) % 2147483648)"
+    h1x = f"xor({h1}, {h1} >> 15)"
+    h2 = f"(({h1x} * 2246822519) % 2147483648)"
+    h2x = f"xor({h2}, {h2} >> 13)"
+    return f"(({h2x}) % 1000 - 499.5) / 500.0"
+
+
 
 _ANN_LSH_SQL = f"""
 WITH sig AS (
@@ -333,7 +346,7 @@ WITH sig AS (
     CAST(list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 4),
       p -> CASE WHEN list_reduce([0.0] || list_transform(range(1, 65),
              i -> CAST(embedding[i] AS DOUBLE)
-                  * {_LSH_W.format(q='(t.tbl * 4 + p)')}),
+                  * {_lsh_w_sql('(t.tbl * 4 + p)')}),
              (acc, x) -> acc + x) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END),
       (acc, b) -> acc * 2 + b) AS BIGINT) AS sig
   FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 4)) AS tbl) t
@@ -384,7 +397,7 @@ WITH sig AS (
     CAST(list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 4),
       p -> CASE WHEN list_reduce([0.0] || list_transform(range(1, 65),
              i -> CAST(embedding[i] AS DOUBLE)
-                  * {_LSH_W.format(q='(t.tbl * 4 + p)')}),
+                  * {_lsh_w_sql('(t.tbl * 4 + p)')}),
              (acc, x) -> acc + x) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END),
       (acc, b) -> acc * 2 + b) AS BIGINT) AS sig
   FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 4)) AS tbl) t

@@ -619,3 +619,33 @@ def test_contamination_and_novelty_handcrafted(spark):
     # 234/345 first seen in doc 2 (bench doc 100 > 2), so only 123 is stale
     assert nov[2] == (7, 6)
     assert nov[100] == (3, 0)  # 123,234,345 all first-seen earlier
+
+
+def test_embedding_signature_backends_bit_identical(spark):
+    """The Arrow signature kernel must produce EXACTLY the signatures of
+    the JVM expression path (same LCG weights, same left-to-right float64
+    fold) — adversarial vectors included (zeros, huge/tiny magnitudes,
+    sign-boundary-hunting values from a hash recipe)."""
+    from etna_spark.data.similarity import embedding_signatures
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 15), j -> CASE"
+            " WHEN id = 0 THEN 0.0"
+            " WHEN id = 1 THEN 1e300"
+            " WHEN id = 2 THEN 1e-300"
+            " ELSE (pmod(xxhash64(id, j), 2000001) - 1000000) / 1e6 *"
+            "      power(10.0, pmod(xxhash64(id, j, 7), 13) - 6) END)"
+        ).alias("embedding"),
+    )
+    kw = dict(id_col="vec_id", vec_col="embedding",
+              n_planes=11, dim=16, n_tables=3)
+    arrow = sorted(
+        embedding_signatures(df, backend="arrow", **kw).collect())
+    expr = sorted(
+        embedding_signatures(df, backend="expr", **kw).collect())
+    assert arrow == expr
+    import pytest as _pt
+    with _pt.raises(ValueError, match="backend"):
+        embedding_signatures(df, backend="nope", **kw).collect()
