@@ -304,6 +304,13 @@ def main() -> None:
             spark, N_VECS, dim=EMB_DIM, num_partitions=max(64, CPUS * 4)
         ).write.mode("overwrite").parquet(emb_path)
     embs = spark.read.parquet(emb_path)
+    # planes scale with corpus size (the standard log2(n) LSH sizing):
+    # random-collision candidate volume is ~n_tables·n²/2^planes, so a
+    # fixed plane count goes quadratically bad as the corpus grows — 18
+    # planes at 1M vectors is ~7.6M junk candidates, 20 planes ~0.9M, at
+    # a <1% recall cost on the planted cos≈0.999 near-dup population
+    # ((1−θ/π)^20 per table, 4 independent tables).
+    nd_planes = 18 if N_VECS <= 500_000 else 20
 
     def run_neardup() -> None:
         # signature frame cached INSIDE each run (the pair join reads it
@@ -311,12 +318,12 @@ def main() -> None:
         # plane-projection + bucket-join pipeline from the scan
         sig = embedding_signatures(
             embs, id_col="vec_id", vec_col="embedding",
-            n_planes=18, dim=EMB_DIM, n_tables=4,
+            n_planes=nd_planes, dim=EMB_DIM, n_tables=4,
         ).cache()
         try:
             nd = embedding_neardup_pairs(
                 embs, id_col="vec_id", vec_col="embedding", threshold=0.99,
-                n_planes=18, dim=EMB_DIM, n_tables=4, max_bucket=200,
+                n_planes=nd_planes, dim=EMB_DIM, n_tables=4, max_bucket=200,
                 signatures=sig,
             )
             dedup_box["emb_pairs"] = nd.count()
@@ -351,9 +358,17 @@ def main() -> None:
     # wall_sec counts everything including warm-up/repeat executions.
     total = sum(queries.values())
     tiers_sec = queries["tok_tiers_cascade"]
+    # r4-comparable subtotal: the stage set grew in r5 (dedup_minhash_lsh +
+    # embedding_neardup_pairs joined the bench), which legitimately raises
+    # the all-stage headline. e2e_core_sec sums exactly the six stages the
+    # r4 headline comprised, so round-over-round comparison stays
+    # stage-set-matched; the full-set number remains the headline.
+    _CORE = ("tok_tiers_cascade", "tok_gapfill", "tok_window_features",
+             "tok_salted_rollup", "gorilla_encode_1m", "events_rollup_interp")
     result = {
         "metric": "e2e_steady_sec",
         "value": round(total, 3),
+        "e2e_core_sec": round(sum(queries[q] for q in _CORE), 3),
         "unit": "sec",
         "wall_sec": round(wall, 3),
         "queries": {k: round(v, 3) for k, v in queries.items()},

@@ -121,7 +121,7 @@ def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
 
 def _sig_kernel(n_planes: int, dim: int, n_tables: int):
     """Arrow-vectorized multi-table signature kernel: bit-identical to the
-    ``lsh_signature`` expression chain (same LCG weights, same sequential
+    ``lsh_signature`` expression chain (same mixed-hash weights, same sequential
     left-to-right float64 accumulation over components — numpy elementwise
     ``acc += v_i * w_i`` iterated in ``i`` order IS that chain, just
     computed for all (row, plane) cells at once), ~20× the throughput of

@@ -222,3 +222,63 @@ def repetition_stats(
     )
     # docs shorter than n words have no n-grams at all → 0.0
     return out.fillna(0.0)
+
+
+def blocklist_stats(
+    df: DataFrame,
+    blocklist: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style bad-word filtering (Raffel et al. 1910.10683 §2.2 drops any
+    page containing a blocklisted word): per document, the number of word
+    positions hit by the (case-insensitive) blocklist and the resulting
+    keep/drop flag.
+
+    The blocklist is a literal array baked into the plan (real lists are a
+    few hundred entries — expression-sized), and the scan is one HOF
+    ``filter`` over the split words: per-row JVM work, no explode, no
+    shuffle, no Python. A corpus-sized blocklist would swap the literal
+    for a broadcast join against exploded words without changing the
+    output contract."""
+    bl = F.array(*[F.lit(w.lower()) for w in blocklist])
+    n_blocked = F.size(
+        F.filter(words(text_col), lambda x: F.array_contains(bl, F.lower(x)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_blocked.cast("long").alias("n_blocked"),
+        (n_blocked == 0).alias("kept"),
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (char
+# classes, bounded repeats, \b, longest-first alternations) so Spark and
+# the DuckDB oracle match the SAME spans — no lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+PII_IPV4_RE = rf"\b{_OCTET}(\.{_OCTET}){{3}}\b"
+
+
+def pii_redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dolma/C4-style PII scrubbing: count and redact email addresses and
+    IPv4 literals (``<EMAIL>`` / ``<IP>`` placeholders), the two pattern
+    families that are pure regex (phone formats need locale tables).
+    Everything is JVM ``regexp_count`` / ``regexp_replace`` — per-row
+    expression work that pushes through whole-stage codegen; the patterns
+    live in the Java∩RE2 subset so a DuckDB oracle value-checks the
+    redacted STRINGS, not just the counts."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>",
+        ).alias("text_redacted"),
+    )

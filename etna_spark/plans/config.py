@@ -48,6 +48,9 @@ ALIASES: dict[str, str] = {
         "etna_spark.plans.pipeline.DeadlineMovingAverageModel",
     "etna.models.HoltWintersModel":
         "etna_spark.plans.pipeline.HoltWintersModel",
+    "etna.models.HoltModel": "etna_spark.plans.pipeline.HoltModel",
+    "etna.models.SimpleExpSmoothingModel":
+        "etna_spark.plans.pipeline.SESModel",
     # the reference has no AR-only linear model class; its per-segment
     # sklearn LinearRegression adapter maps to the exact AR(2) core
     "etna.models.LinearPerSegmentModel":

@@ -797,6 +797,78 @@ class HoltWintersModel:
         return out
 
 
+class HoltModel:
+    """Holt's linear-trend (double exponential) smoothing, from scratch.
+
+    Reference: ``HoltModel`` (/root/reference/etna/models/holt_winters.py,
+    the trend-only restriction of the statsmodels wrapper). Same contract
+    as :class:`HoltWintersModel` minus the seasonal state: classic init
+    ``l = y[0]``, ``b = y[1] − y[0]``, then
+    ``l' = αy + (1−α)(l+b)``; ``b' = β(l'−l) + (1−β)b`` over every
+    observation in one fixed scalar-float op order (recursive-CTE
+    replayable), forecast ``l + h·b``."""
+
+    supports_components = False
+
+    def __init__(self, alpha: float = 0.5, beta: float = 0.25):
+        for name, v in (("alpha", alpha), ("beta", beta)):
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"{name} must be in [0, 1]")
+        self.alpha, self.beta = alpha, beta
+
+    @property
+    def context_size(self) -> int:
+        return 2  # init needs the first two points
+
+    def kernel(self, y: np.ndarray, n_future: int) -> np.ndarray:
+        y = np.asarray(y, dtype=np.float64)
+        if np.isnan(y).any():
+            raise ValueError("HoltModel requires a gap-filled series")
+        if len(y) < 2:
+            raise ValueError(f"need >= 2 points to initialize, got {len(y)}")
+        a, bt = self.alpha, self.beta
+        l = float(y[0])
+        b = float(y[1]) - float(y[0])
+        for t in range(len(y)):
+            yt = float(y[t])
+            l_new = a * yt + (1.0 - a) * (l + b)
+            b = bt * (l_new - l) + (1.0 - bt) * b
+            l = l_new
+        return np.array([l + h * b for h in range(1, n_future + 1)])
+
+
+class SESModel:
+    """Simple exponential smoothing (flat forecast), from scratch.
+
+    Reference: ``SimpleExpSmoothingModel`` (/root/reference/etna/models/
+    holt_winters.py, the level-only restriction). Init ``l = y[0]``, then
+    ``l' = αy + (1−α)l`` per observation; every horizon forecasts the
+    final level."""
+
+    supports_components = False
+
+    def __init__(self, alpha: float = 0.5):
+        if not 0.0 <= alpha <= 1.0:
+            raise ValueError("alpha must be in [0, 1]")
+        self.alpha = alpha
+
+    @property
+    def context_size(self) -> int:
+        return 1
+
+    def kernel(self, y: np.ndarray, n_future: int) -> np.ndarray:
+        y = np.asarray(y, dtype=np.float64)
+        if np.isnan(y).any():
+            raise ValueError("SESModel requires a gap-filled series")
+        if len(y) < 1:
+            raise ValueError("need >= 1 point to initialize")
+        a = self.alpha
+        l = float(y[0])
+        for t in range(1, len(y)):
+            l = a * float(y[t]) + (1.0 - a) * l
+        return np.full(n_future, l)
+
+
 class LinearARModel:
     """Per-segment linear autoregression AR(2) with intercept, fitted by
     exact normal equations.

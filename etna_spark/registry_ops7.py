@@ -821,3 +821,346 @@ def q_tok_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etna_spark.data.contamination import ngram_novelty
 
     return ngram_novelty(doc_token_table(spark, sf_dir), n=4)
+
+
+# ---------------------------------------------------------------------------
+# r5 batch 2: training-data hygiene ops — suffix-array-style dedup cut
+# lists, C4 blocklist filtering, PII redaction (data/contamination.py,
+# data/text.py)
+# ---------------------------------------------------------------------------
+
+_DUP_SPANS_CTES = _TOK_CTE + """
+, ex0 AS (
+  SELECT doc_id, tokens,
+         unnest(range(0, CAST(n_tok - 15 AS BIGINT))) AS j
+  FROM tok WHERE n_tok >= 16
+), ex AS (
+  SELECT doc_id, j,
+         array_to_string(tokens[CAST(j + 1 AS INTEGER) : CAST(j + 16 AS INTEGER)], ',') AS gram
+  FROM ex0
+), fs AS (
+  SELECT gram, min(doc_id) AS first_doc FROM ex GROUP BY 1
+), stale AS (
+  SELECT ex.doc_id, ex.j
+  FROM ex JOIN fs USING (gram)
+  WHERE fs.first_doc < ex.doc_id
+), marks AS (
+  SELECT doc_id, j,
+         CASE WHEN lag(j) OVER w IS NULL
+                OR j - lag(j) OVER w > 15 THEN 1 ELSE 0 END AS new_run
+  FROM stale
+  WINDOW w AS (PARTITION BY doc_id ORDER BY j)
+), runs AS (
+  SELECT doc_id, j,
+         sum(new_run) OVER (PARTITION BY doc_id ORDER BY j
+                            ROWS UNBOUNDED PRECEDING) AS run
+  FROM marks
+), spans AS (
+  SELECT doc_id, CAST(min(j) AS BIGINT) AS span_start,
+         CAST(max(j) + 15 AS BIGINT) AS span_end
+  FROM runs GROUP BY doc_id, run
+)
+"""
+
+_DUP_SPANS_SQL = _DUP_SPANS_CTES + """
+SELECT doc_id, span_start, span_end FROM spans
+"""
+
+
+@register("tok_dup_spans", _DUP_SPANS_SQL)
+def q_tok_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-dedup cut lists (data/contamination.py::
+    duplicate_spans — Lee et al. 2107.06499 rebuilt on the bucket-join
+    shape): maximal token spans covered by 16-token windows whose gram
+    first occurs in an earlier document. The oracle replays the explode →
+    min-per-gram → join → gaps-and-islands chain verbatim; span starts,
+    ends, and the island merging itself are all under the value gate."""
+    from etna_spark.data.contamination import duplicate_spans
+
+    return duplicate_spans(doc_token_table(spark, sf_dir), n=16)
+
+
+_BLOCKLIST = ("slow", "drop", "filter")
+
+_BLOCKLIST_SQL = f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '),
+       w -> list_contains({list(_BLOCKLIST)!r}, lower(w)))) AS BIGINT)
+    AS n_blocked,
+  len(list_filter(string_split(text, ' '),
+      w -> list_contains({list(_BLOCKLIST)!r}, lower(w)))) = 0 AS kept
+FROM documents
+"""
+
+
+@register("text_blocklist_c4", _BLOCKLIST_SQL)
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter (data/text.py::blocklist_stats — Raffel
+    et al. 1910.10683 §2.2 drops any page containing a blocklisted word):
+    per-doc blocked-word-position count + keep flag, the whole scan one
+    JVM HOF filter over split words. The list here is three corpus words
+    so both outcomes occur; a production blocklist swaps the literal."""
+    from etna_spark.data.text import blocklist_stats
+    from etna_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_stats(docs, _BLOCKLIST)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_PII_IPV4 = rf"\b{_PII_OCTET}(\.{_PII_OCTET}){{3}}\b"
+
+_PII_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+    text || CASE doc_id % 5
+      WHEN 0 THEN ' contact admin' || CAST(doc_id AS VARCHAR)
+              || '@example.org now'
+      WHEN 1 THEN ' node 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+      ELSE '' END AS text2
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text2, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text2, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+  regexp_replace(regexp_replace(text2, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IPV4}', '<IP>', 'g') AS text_redacted
+FROM planted
+"""
+
+
+@register("text_pii_redact", _PII_SQL)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/C4-style PII scrub (data/text.py::pii_redact): email + IPv4
+    counts and the REDACTED STRINGS under the value gate. The fixture
+    plants deterministic PII (an email on doc_id%5==0, an in-range IPv4
+    on %5==1) because the synthetic corpus has none of its own; patterns
+    live in the Java∩RE2 regex subset so Spark and DuckDB match the same
+    spans — the string hash would catch any dialect divergence."""
+    from etna_spark.data.text import pii_redact
+    from etna_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(5)) == 0,
+                F.concat(F.lit(" contact admin"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.org now")),
+            )
+            .when(
+                F.pmod("doc_id", F.lit(5)) == 1,
+                F.concat(F.lit(" node 10."),
+                         F.pmod("doc_id", F.lit(200)).cast("string"),
+                         F.lit(".0."),
+                         F.pmod("doc_id", F.lit(100)).cast("string"),
+                         F.lit(" up")),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(planted)
+
+
+def _holt_sql(horizon: int, alpha: float, beta: float) -> str:
+    """DuckDB twin of HoltModel: init l=y[0], b=y[1]−y[0], then the
+    two-equation recursion absorbed from i=0 in the kernel's exact scalar
+    op order (lnew computed in a subquery so the b-update reads the same
+    intermediates as Python)."""
+    al, omal = repr(alpha), repr(1.0 - alpha)
+    bt, ombt = repr(beta), repr(1.0 - beta)
+    return _DENSE_PTS_CTE + f"""
+, init AS (
+  SELECT s,
+    max(CASE WHEN i = 0 THEN CAST(y AS DOUBLE) END) AS y0,
+    max(CASE WHEN i = 1 THEN CAST(y AS DOUBLE) END) AS y1
+  FROM pts WHERE i < 2 GROUP BY s
+), ho AS (
+  SELECT s, -1 AS t, y0 AS l, y1 - y0 AS b FROM init
+  UNION ALL
+  SELECT q.s, q.t, q.lnew AS l,
+         {bt} * (q.lnew - q.l_old) + {ombt} * q.b_old AS b
+  FROM (
+    SELECT h.s, h.t + 1 AS t, h.l AS l_old, h.b AS b_old,
+           {al} * CAST(p.y AS DOUBLE) + {omal} * (h.l + h.b) AS lnew
+    FROM ho h JOIN pts p ON p.s = h.s AND p.i = h.t + 1
+  ) q
+), last_state AS (
+  SELECT h.s, h.l, h.b, z.mxb
+  FROM ho h JOIN sizes z USING (s) WHERE h.t = z.n - 1
+)
+SELECT ls.s AS event_type,
+  CAST(epoch(ls.mxb) + hs.h * 3600 AS BIGINT) AS bucket_ts,
+  round(ls.l + hs.h * ls.b, 6) + 0.0 AS pred
+FROM last_state ls
+CROSS JOIN (SELECT unnest(range(1, {horizon + 1})) AS h) hs
+"""
+
+
+@register("holt_forecast_1h", _holt_sql(12, 0.5, 0.25))
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast (plans/pipeline.py::HoltModel — the
+    reference's HoltModel restricts statsmodels ExponentialSmoothing to
+    trend-only, models/holt_winters.py; this is the same two-equation
+    recursion from scratch): Pipeline fit + 12-step forecast; the oracle
+    unrolls the (level, trend) recursion as a recursive CTE with the
+    identical float chain."""
+    from etna_spark.plans.pipeline import HoltModel, Pipeline
+    from etna_spark.registry_ops5 import _dense_1h
+
+    dense = _dense_1h(spark, sf_dir)
+    p = Pipeline(
+        model=HoltModel(alpha=0.5, beta=0.25), horizon=12,
+        step_seconds=3600, in_col="v", series_cols=("event_type",),
+        ts_col="bucket_ts",
+    ).fit(dense)
+    out = p.forecast()
+    return out.select(
+        "event_type",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        (F.round("v", 6) + F.lit(0.0)).alias("pred"),
+    )
+
+
+def _ses_sql(horizon: int, alpha: float) -> str:
+    """DuckDB twin of SESModel: l=y[0], absorb from i=1, flat forecast."""
+    al, omal = repr(alpha), repr(1.0 - alpha)
+    return _DENSE_PTS_CTE + f"""
+, se AS (
+  SELECT s, 0 AS t, CAST(y AS DOUBLE) AS l FROM pts WHERE i = 0
+  UNION ALL
+  SELECT h.s, h.t + 1,
+         {al} * CAST(p.y AS DOUBLE) + {omal} * h.l
+  FROM se h JOIN pts p ON p.s = h.s AND p.i = h.t + 1
+), last_state AS (
+  SELECT h.s, h.l, z.mxb
+  FROM se h JOIN sizes z USING (s) WHERE h.t = z.n - 1
+)
+SELECT ls.s AS event_type,
+  CAST(epoch(ls.mxb) + hs.h * 3600 AS BIGINT) AS bucket_ts,
+  round(ls.l, 6) + 0.0 AS pred
+FROM last_state ls
+CROSS JOIN (SELECT unnest(range(1, {horizon + 1})) AS h) hs
+"""
+
+
+@register("ses_forecast_1h", _ses_sql(12, 0.5))
+def q_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing forecast (plans/pipeline.py::SESModel
+    — the reference's SimpleExpSmoothingModel restriction): flat forecast
+    of the final smoothed level; oracle = the one-state recursion as a
+    recursive CTE."""
+    from etna_spark.plans.pipeline import Pipeline, SESModel
+    from etna_spark.registry_ops5 import _dense_1h
+
+    dense = _dense_1h(spark, sf_dir)
+    p = Pipeline(
+        model=SESModel(alpha=0.5), horizon=12, step_seconds=3600,
+        in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
+    ).fit(dense)
+    out = p.forecast()
+    return out.select(
+        "event_type",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        (F.round("v", 6) + F.lit(0.0)).alias("pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r5 batch 3: span removal (the cut half of suffix-array dedup) and the
+# unigram commonness score (data/contamination.py)
+# ---------------------------------------------------------------------------
+
+_SPAN_REMOVE_SQL = _DUP_SPANS_CTES + """
+, posx AS (
+  SELECT doc_id, unnest(range(0, CAST(n_tok AS BIGINT))) AS p FROM tok
+), covered AS (
+  SELECT doc_id, unnest(range(span_start, span_end + 1)) AS p FROM spans
+), keptpos AS (
+  SELECT px.doc_id, px.p,
+         row_number() OVER (PARTITION BY px.doc_id ORDER BY px.p) AS rn
+  FROM posx px
+  ANTI JOIN covered c ON c.doc_id = px.doc_id AND c.p = px.p
+), agg AS (
+  SELECT k.doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum((t.tokens[CAST(k.p + 1 AS INTEGER)] + 1) * k.rn)
+              AS BIGINT) AS checksum
+  FROM keptpos k JOIN tok t USING (doc_id)
+  GROUP BY k.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_tok - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(a.checksum, 0) AS BIGINT) AS checksum
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("tok_dup_span_removal", _SPAN_REMOVE_SQL)
+def q_tok_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut half of suffix-array dedup (data/contamination.py::
+    remove_duplicate_spans — Lee et al. 2107.06499 §3): drop every token
+    position covered by a duplicate span, keep survivor order. The value
+    gate holds a position-weighted checksum of the CLEANED arrays
+    (Σ (token+1)·(new_position+1), integer-exact, flips under any wrong
+    cut or reorder) plus kept/removed counts; the oracle recomputes the
+    cut by expanding spans to positions and anti-joining."""
+    from etna_spark.data.contamination import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    tt = doc_token_table(spark, sf_dir)
+    cleaned = remove_duplicate_spans(tt, duplicate_spans(tt, n=16))
+    terms = F.transform(
+        "tokens_clean",
+        lambda x, i: (x.cast("long") + 1) * (i.cast("long") + 1),
+    )
+    return cleaned.select(
+        "doc_id",
+        F.size("tokens_clean").cast("long").alias("n_kept"),
+        "n_removed",
+        F.aggregate(
+            terms, F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("checksum"),
+    )
+
+
+_TOK_FREQ_SQL = _TOK_CTE + """
+, pos AS (
+  SELECT doc_id, unnest(tokens) AS t FROM tok
+), counts AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY t
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total FROM counts
+), per_doc AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(c.c) AS BIGINT) AS freq_sum
+  FROM pos p JOIN counts c ON c.t = p.t
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, d.n_tok, d.freq_sum,
+       round(CAST(d.freq_sum AS DOUBLE) /
+             (CAST(d.n_tok AS DOUBLE) * CAST(tt.total AS DOUBLE)), 9) + 0.0
+         AS mean_freq
+FROM per_doc d CROSS JOIN tot tt
+"""
+
+
+@register("tok_unigram_freq_score", _TOK_FREQ_SQL)
+def q_tok_unigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram commonness score (data/contamination.py::
+    token_frequency_score): per-doc mean corpus frequency of its tokens,
+    integer-exact sufficient statistics with ONE final float division —
+    bit-reproducible across engines. The quality-bucketing signal that
+    downsamples both gibberish (rare-token tail) and boilerplate
+    (stopword tail)."""
+    from etna_spark.data.contamination import token_frequency_score
+
+    return token_frequency_score(doc_token_table(spark, sf_dir))

@@ -649,3 +649,99 @@ def test_embedding_signature_backends_bit_identical(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="backend"):
         embedding_signatures(df, backend="nope", **kw).collect()
+
+
+_SPAN_DOCS = [
+    (0, [1, 2, 3, 4, 5, 6, 7, 8]),           # source of all grams
+    (1, [1, 2, 3, 4, 9, 5, 6, 7, 8]),        # stale at j=0 and j=5
+    (2, [1, 2, 3, 4, 5, 6]),                 # stale j=0,1,2 → one span
+    (3, [50, 51, 52, 53, 54]),               # all novel → no rows
+    (4, [1, 2, 3]),                          # shorter than n → no rows
+    (10, [7, 8, 3, 4, 9]),                   # novel source for doc 11's j=0
+    # stale j=0 (from doc 10) and j=2 (from doc 0) with j=1 NOVEL:
+    # windows overlap (gap 2 ≤ n−1) → must merge into ONE span [0,5]
+    (11, [7, 8, 3, 4, 5, 6]),
+]
+
+
+def test_duplicate_spans_handcrafted(spark):
+    """Cut-list semantics on a hand-built corpus (n=4): full-dup docs get
+    one whole-doc span, interleaved novelty splits spans into islands,
+    all-novel docs produce no rows, and stale windows merge whenever they
+    OVERLAP (gap ≤ n−1), not only when adjacent."""
+    from etna_spark.data.contamination import duplicate_spans
+
+    df = spark.createDataFrame(_SPAN_DOCS, "doc_id int, tokens array<int>")
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, n=4).collect()
+    )
+    assert rows == [(1, 0, 3), (1, 5, 8), (2, 0, 5), (11, 0, 5)]
+
+
+def test_remove_duplicate_spans_handcrafted(spark):
+    """The cut: covered positions drop, survivors keep order, span-free
+    docs pass through untouched, fully-covered docs empty out."""
+    from etna_spark.data.contamination import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(_SPAN_DOCS, "doc_id int, tokens array<int>")
+    out = remove_duplicate_spans(df, duplicate_spans(df, n=4))
+    got = {r["doc_id"]: (r["tokens_clean"], r["n_removed"])
+           for r in out.collect()}
+    assert got[0] == ([1, 2, 3, 4, 5, 6, 7, 8], 0)
+    assert got[1] == ([9], 8)      # spans [0,3] + [5,8] leave position 4
+    assert got[2] == ([], 6)       # whole doc covered
+    assert got[3] == ([50, 51, 52, 53, 54], 0)
+    assert got[4] == ([1, 2, 3], 0)
+    assert got[11] == ([], 6)      # merged span [0,5] covers everything
+
+
+def test_token_frequency_score_handcrafted(spark):
+    """Exact integer stats: counts 1→2, 2→2, 3→1, total 5 positions."""
+    from etna_spark.data.contamination import token_frequency_score
+
+    df = spark.createDataFrame(
+        [(0, [1, 1, 2]), (1, [2, 3])], "doc_id int, tokens array<int>")
+    got = {r["doc_id"]: (r["n_tok"], r["freq_sum"], r["mean_freq"])
+           for r in token_frequency_score(df).collect()}
+    assert got[0] == (3, 6, round(6 / 15, 9))
+    assert got[1] == (2, 3, round(3 / 10, 9))
+
+
+def test_blocklist_stats_handcrafted(spark):
+    from etna_spark.data.text import blocklist_stats
+
+    df = spark.createDataFrame(
+        [(0, "slow query drop"), (1, "fast path"), (2, "Slow SLOW x")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: (r["n_blocked"], r["kept"])
+            for r in blocklist_stats(df, ("slow", "drop")).collect()}
+    assert rows == {0: (2, False), 1: (0, True), 2: (2, False)}
+
+
+def test_pii_redact_handcrafted(spark):
+    """Email/IPv4 redaction: counts and redacted strings, including the
+    adversarial non-IP (octet > 255) and an IP glued to extra dotted
+    digits (leftmost match wins, remainder survives)."""
+    from etna_spark.data.text import pii_redact
+
+    cases = [
+        (0, "mail bob.smith+x@sub.example.org end"),
+        (1, "host 10.0.0.1 and 255.255.255.255 up"),
+        (2, "not-an-ip 999.300.1.2 here"),
+        (3, "chain 1.2.3.4.5 tail"),
+        (4, "plain text only"),
+        (5, "two a@b.co c@d.io and 172.16.254.3"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_emails"], r["n_ipv4"], r["text_redacted"])
+           for r in pii_redact(df).collect()}
+    assert got[0] == (1, 0, "mail <EMAIL> end")
+    assert got[1] == (0, 2, "host <IP> and <IP> up")
+    assert got[2] == (0, 0, "not-an-ip 999.300.1.2 here")
+    assert got[3] == (0, 1, "chain <IP>.5 tail")
+    assert got[4] == (0, 0, "plain text only")
+    assert got[5] == (2, 1, "two <EMAIL> <EMAIL> and <IP>")

@@ -386,3 +386,37 @@ def test_linear_ar_validations():
         m.fit_coeffs(np.array([7.0] * 20))
     with pytest.raises(ValueError, match=">= 5 points"):
         m.fit_coeffs(np.array([1.0, 2.0, 3.0, 4.0]))
+
+
+def test_holt_and_ses_kernels_handcomputed():
+    """Exact recursion checks against hand-unrolled arithmetic."""
+    import numpy as np
+
+    from etna_spark.plans.pipeline import HoltModel, SESModel
+
+    # Holt, alpha=0.5 beta=0.5 on y=[2, 4, 6]: init l=2, b=2.
+    # t=0: lnew=.5*2+.5*(2+2)=3;  b=.5*(3-2)+.5*2=1.5; l=3
+    # t=1: lnew=.5*4+.5*(3+1.5)=4.25; b=.5*1.25+.5*1.5=1.375
+    # t=2: lnew=.5*6+.5*(4.25+1.375)=5.8125; b=.5*1.5625+.5*1.375=1.46875
+    out = HoltModel(alpha=0.5, beta=0.5).kernel(np.array([2.0, 4.0, 6.0]), 3)
+    assert out.tolist() == [
+        5.8125 + 1.46875, 5.8125 + 2 * 1.46875, 5.8125 + 3 * 1.46875]
+
+    # a perfectly linear series with alpha=beta=1 forecasts the exact line
+    y = np.arange(10, dtype=float) * 3.0 + 7.0
+    out = HoltModel(alpha=1.0, beta=1.0).kernel(y, 4)
+    assert out.tolist() == [(10 + h) * 3.0 + 7.0 for h in range(4)]
+
+    # SES alpha=0.25 on [8, 4]: l=8 -> .25*4+.75*8=7 flat
+    out = SESModel(alpha=0.25).kernel(np.array([8.0, 4.0]), 3)
+    assert out.tolist() == [7.0, 7.0, 7.0]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="alpha"):
+        HoltModel(alpha=2.0)
+    with _pt.raises(ValueError, match="alpha"):
+        SESModel(alpha=-0.1)
+    with _pt.raises(ValueError, match="gap-filled"):
+        SESModel().kernel(np.array([1.0, np.nan]), 1)
+    with _pt.raises(ValueError, match=">= 2 points"):
+        HoltModel().kernel(np.array([1.0]), 1)
