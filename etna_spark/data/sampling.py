@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BUCKETS = 10_000
@@ -65,3 +65,89 @@ def hash_stratified_sample(
             F.col(strata_col) == s, F.lit(int(round(r * N_BUCKETS)))
         ).otherwise(thr)
     return df.filter(hash_bucket(F.col(key_col), salt) < thr)
+
+
+_SQRT_SCALE = 1_000_000
+
+
+def temperature_stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target_num: int = 1,
+    target_den: int = 2,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-based mixture re-weighting (α = 0.5, i.e. temperature
+    2) followed by deterministic hash sampling — the standard multilingual
+    / multi-source rebalancing step: stratum ``s`` with ``c_s`` rows gets
+    a target share ∝ ``c_s^0.5`` instead of ∝ ``c_s``, UP-weighting
+    low-resource strata relative to proportional sampling (Conneau &
+    Lample's exponentiated-count sampling, used verbatim by XLM-R / mT5
+    data mixing).
+
+    Everything after one ``sqrt`` per stratum is INTEGER arithmetic, so
+    membership is exactly replayable in a SQL oracle:
+
+    - ``score_s = floor(sqrt(c_s) · 10^6)`` — ``sqrt`` is IEEE-754
+      correctly-rounded in both engines (unlike ``pow(x, 0.5)``, which is
+      only 1-ulp in the JVM and may diverge from C ``pow``);
+    - ``quota_s = (score_s · N) div Σscore`` with
+      ``N = (total · target_num) div target_den``;
+    - keep iff ``hash_bucket(key) < min(10000, quota_s · 10^4 div c_s)``
+      — the same LCG filter as :func:`hash_stratified_sample`, so the
+      sample stays a pure per-row projection: no shuffle on the fact
+      table, no RNG, no driver collect (the stratum stats table is one
+      row per stratum and is broadcast).
+
+    The α exponent is fixed at 0.5 by the exactness argument above; for
+    other temperatures compose rates driver-side and call
+    :func:`hash_stratified_sample`. ``score_s · N`` must stay below 2^62
+    (loud ``assert_true`` in the plan) — at extreme scale lower
+    ``_SQRT_SCALE``.
+    """
+    if not (0 < target_num <= target_den):
+        raise ValueError("target fraction must be in (0, 1]")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_c"))
+    w = (
+        Window.partitionBy(F.lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    stats = (
+        counts.withColumn(
+            "_score",
+            F.floor(
+                F.sqrt(F.col("_c").cast("double")) * F.lit(float(_SQRT_SCALE))
+            ).cast("long"),
+        )
+        .withColumn("_denom", F.sum("_score").over(w))
+        .withColumn("_total", F.sum("_c").over(w))
+        .withColumn(
+            "_target",
+            F.expr(f"(_total * {int(target_num)}) DIV {int(target_den)}"),
+        )
+        .withColumn("_quota", F.expr("(_score * _target) DIV _denom"))
+        .withColumn(
+            "_thr",
+            # the overflow guard rides inside the needed column so column
+            # pruning cannot elide it (same trick as spine.py:142)
+            F.when(
+                F.assert_true(
+                    F.col("_score").cast("double")
+                    * F.col("_target").cast("double")
+                    < F.lit(float(2 ** 62)),
+                    F.lit("temperature sample: score*target exceeds 2^62 "
+                          "— lower _SQRT_SCALE"),
+                ).isNull(),
+                F.expr(
+                    "least(CAST(10000 AS BIGINT), (_quota * 10000) DIV _c)"
+                ),
+            ),
+        )
+        .select(strata_col, "_thr")
+    )
+    joined = df.join(F.broadcast(stats), on=strata_col)
+    return (
+        joined.filter(hash_bucket(F.col(key_col), salt) < F.col("_thr"))
+        .withColumnRenamed("_thr", "sample_thr")
+    )

@@ -55,6 +55,11 @@ ALIASES: dict[str, str] = {
     # sklearn LinearRegression adapter maps to the exact AR(2) core
     "etna.models.LinearPerSegmentModel":
         "etna_spark.plans.pipeline.LinearARModel",
+    # the reference wraps Prophet / reaches Theta via statsmodels; these
+    # map to the exact from-scratch cores
+    "etna.models.ProphetModel":
+        "etna_spark.plans.pipeline.PiecewiseTrendModel",
+    "etna.models.ThetaModel": "etna_spark.plans.pipeline.ThetaModel",
     "etna.transforms.LagTransform": "etna_spark.operators.lags.LagTransform",
     "etna.transforms.DifferencingTransform":
         "etna_spark.operators.differencing.Differencing",

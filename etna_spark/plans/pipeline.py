@@ -950,3 +950,238 @@ class LinearARModel:
             out[h] = nxt
             prev1, prev2 = nxt, prev1
         return out
+
+
+class PiecewiseTrendModel:
+    """Piecewise-linear trend + additive seasonal means — the
+    deterministic core of Prophet's additive decomposition, from scratch.
+
+    Reference: the reference wraps Prophet (/root/reference/etna/models/
+    prophet.py:350) whose backbone is ``growth + seasonality``; Stan and
+    the changepoint prior are not installable here, so this model keeps
+    the structural form and fits it EXACTLY: a one-knot piecewise-linear
+    trend ``y ≈ b0 + b1·t + b2·max(0, t−c)`` (knot fixed at the series
+    midpoint ``c = n//2``, Prophet's uniform-changepoint special case)
+    solved by integer normal equations + the same fixed first-row-minor
+    Cramer chain as :class:`LinearARModel`, plus an additive seasonal
+    component ``seas[p] = S_p/n_p − Sy/n`` of positional period-phase
+    means (all sums exact int64 on integer-valued series). Every float op
+    runs in ONE fixed scalar order, so a DuckDB oracle replays fit and
+    forecast bit-for-bit with no recursion at all.
+
+    Forecast at horizon h (t = n−1+h, always past the knot):
+    ``(b0 + b1·t + b2·(t−c)) + seas[t mod m]``.
+    """
+
+    supports_components = False
+
+    def __init__(self, seasonality: int = 24):
+        if seasonality < 1:
+            raise ValueError("seasonality must be >= 1")
+        self.seasonality = seasonality
+
+    @property
+    def context_size(self) -> int:
+        return 2 * self.seasonality
+
+    @staticmethod
+    def fit_trend(y, knot: int) -> tuple[float, float, float]:
+        """(b0, b1, b2) for design (1, t, max(0, t−knot)) via exact
+        integer sufficient stats + the LinearARModel Cramer chain."""
+        yi = [int(v) for v in y]
+        if any(float(a) != float(b) for a, b in zip(yi, y)):
+            raise ValueError(
+                "PiecewiseTrendModel requires an integer-valued series "
+                "(use cent-scaled input) for the exact normal equations"
+            )
+        n = len(yi)
+        if n < knot + 3:
+            raise ValueError("need >= knot+3 points to fit the two pieces")
+        st = sum(range(n)); stt = sum(t * t for t in range(n))
+        ks = [max(0, t - knot) for t in range(n)]
+        sk = sum(ks); skk = sum(k * k for k in ks)
+        stk = sum(t * k for t, k in zip(range(n), ks))
+        sy = sum(yi); sty = sum(t * v for t, v in zip(range(n), yi))
+        sky = sum(k * v for k, v in zip(ks, yi))
+        for mag in (stt, skk, stk, sty, sky, sy):
+            if abs(mag) >= 2 ** 53:
+                raise OverflowError(
+                    "a sufficient statistic exceeds 2^53 — the float cast "
+                    "in the oracle would lose exactness; rescale the input"
+                )
+        a = [[float(n), float(st), float(sk)],
+             [float(st), float(stt), float(stk)],
+             [float(sk), float(stk), float(skk)]]
+        b = [float(sy), float(sty), float(sky)]
+        m00 = a[1][1] * a[2][2] - a[1][2] * a[2][1]
+        m01 = a[1][0] * a[2][2] - a[1][2] * a[2][0]
+        m02 = a[1][0] * a[2][1] - a[1][1] * a[2][0]
+        det = a[0][0] * m00 - a[0][1] * m01 + a[0][2] * m02
+        if det == 0.0:
+            raise NotImplementedError(
+                "singular piecewise design (constant/degenerate series)"
+            )
+        d0 = (b[0] * m00
+              - a[0][1] * (b[1] * a[2][2] - a[1][2] * b[2])
+              + a[0][2] * (b[1] * a[2][1] - a[1][1] * b[2]))
+        d1 = (a[0][0] * (b[1] * a[2][2] - a[1][2] * b[2])
+              - b[0] * m01
+              + a[0][2] * (a[1][0] * b[2] - b[1] * a[2][0]))
+        d2 = (a[0][0] * (a[1][1] * b[2] - b[1] * a[2][1])
+              - a[0][1] * (a[1][0] * b[2] - b[1] * a[2][0])
+              + b[0] * m02)
+        return d0 / det, d1 / det, d2 / det
+
+    def kernel(self, y: np.ndarray, n_future: int) -> np.ndarray:
+        y = np.asarray(y, dtype=np.float64)
+        if np.isnan(y).any():
+            raise ValueError(
+                "PiecewiseTrendModel requires a gap-filled series"
+            )
+        n = len(y)
+        m = self.seasonality
+        knot = n // 2
+        b0, b1, b2 = self.fit_trend(y, knot)
+        # positional period-phase means of the RAW series, centred on the
+        # global mean: seas[p] = S_p/n_p − Sy/n — exact integer sums, one
+        # float division each, one subtraction (fixed order)
+        yi = [int(v) for v in y]
+        sy = sum(yi)
+        seas = []
+        for p in range(m):
+            sp = sum(yi[i] for i in range(p, n, m))
+            np_ = len(range(p, n, m))
+            seas.append(float(sp) / float(np_) - float(sy) / float(n))
+        out = np.empty(n_future)
+        for h in range(1, n_future + 1):
+            t = n - 1 + h
+            trend = b0 + b1 * float(t) + b2 * float(t - knot)
+            out[h - 1] = trend + seas[t % m]
+        return out
+
+
+class ThetaModel:
+    """The Theta method (Assimakopoulos & Nikolopoulos 2000, the M3
+    winner; Hyndman & Billah 2003 show it ≈ SES with drift), from
+    scratch in its classic two-line form.
+
+    Reference: the reference's statsmodels adapters (models/
+    holt_winters.py, sarimax.py) cover this family via external
+    libraries; this is the standard θ = (0, 2) decomposition fitted
+    exactly: the θ=0 line is the OLS time trend ``a + b·t`` from exact
+    integer 2×2 normal equations (fixed op order: ``b = (n·Sty − St·Sy)
+    / (n·Stt − St·St)``, ``a = (Sy − b·St)/n``); the θ=2 line
+    ``z_t = 2·y_t − (a + b·t)`` is smoothed by SES (same recursion as
+    :class:`SESModel`), and the forecast combines the two lines with
+    equal weights: ``ŷ_{n−1+h} = 0.5·l + 0.5·(a + b·(n−1+h))``. The SES
+    recursion and every other float op run in one fixed scalar order —
+    recursive-CTE replayable."""
+
+    supports_components = False
+
+    def __init__(self, alpha: float = 0.5):
+        if not 0.0 <= alpha <= 1.0:
+            raise ValueError("alpha must be in [0, 1]")
+        self.alpha = alpha
+        self.seasonality = 1  # protocol attr (context stride)
+
+    @property
+    def context_size(self) -> int:
+        return 3
+
+    def kernel(self, y: np.ndarray, n_future: int) -> np.ndarray:
+        y = np.asarray(y, dtype=np.float64)
+        if np.isnan(y).any():
+            raise ValueError("ThetaModel requires a gap-filled series")
+        yi = [int(v) for v in y]
+        if any(float(a) != float(b) for a, b in zip(yi, y)):
+            raise ValueError(
+                "ThetaModel requires an integer-valued series (use "
+                "cent-scaled input) for the exact trend fit"
+            )
+        n = len(yi)
+        if n < 3:
+            raise ValueError("need >= 3 points to fit the theta lines")
+        st = sum(range(n)); stt = sum(t * t for t in range(n))
+        sy = sum(yi); sty = sum(t * v for t, v in zip(range(n), yi))
+        den = n * stt - st * st
+        if den == 0:
+            raise NotImplementedError("degenerate time design")
+        for mag, what in ((n * sty, "n*Sty"), (st * sy, "St*Sy")):
+            if abs(mag) >= 2 ** 53:
+                raise OverflowError(
+                    f"{what} exceeds 2^53 — the float cast in the oracle "
+                    "would lose exactness; rescale the input"
+                )
+        b = float(n * sty - st * sy) / float(den)
+        a = (float(sy) - b * float(st)) / float(n)
+        alpha = self.alpha
+        # z_0 seed uses the SAME expression shape as the loop so the SQL
+        # twin's recursive seed is op-identical
+        l = 2.0 * float(yi[0]) - (a + b * 0.0)
+        for t in range(1, n):
+            z = 2.0 * float(yi[t]) - (a + b * float(t))
+            l = alpha * z + (1.0 - alpha) * l
+        out = np.empty(n_future)
+        for h in range(1, n_future + 1):
+            trend = a + b * float(n - 1 + h)
+            out[h - 1] = 0.5 * l + 0.5 * trend
+        return out
+
+
+class CrostonModel:
+    """Croston's method for intermittent demand (Croston 1972), from
+    scratch — the standard forecaster when most periods are zero (sparse
+    token arrivals, rare-event counts).
+
+    Reference: outside the reference's statsmodels wrappers (its
+    exponential-smoothing family, models/holt_winters.py) but the same
+    recursion family; included because token-arrival series at fine
+    retention tiers are genuinely intermittent. Two SES states updated
+    ONLY on demand periods: demand size ``z' = αy + (1−α)z`` and
+    inter-demand interval ``p' = αq + (1−α)p`` where ``q`` counts
+    periods since the previous demand; init at the first demand
+    ``z = y_t``, ``p = t+1``. Flat forecast ``z / p`` (expected demand
+    per period). One fixed scalar-float op order → recursive-CTE
+    replayable."""
+
+    supports_components = False
+
+    def __init__(self, alpha: float = 0.5):
+        if not 0.0 <= alpha <= 1.0:
+            raise ValueError("alpha must be in [0, 1]")
+        self.alpha = alpha
+        self.seasonality = 1  # protocol attr (context stride)
+
+    @property
+    def context_size(self) -> int:
+        return 1
+
+    def kernel(self, y: np.ndarray, n_future: int) -> np.ndarray:
+        y = np.asarray(y, dtype=np.float64)
+        if np.isnan(y).any():
+            raise ValueError("CrostonModel requires a gap-filled series "
+                             "(zero-fill empty periods)")
+        if (y < 0).any():
+            raise ValueError("CrostonModel requires non-negative demand")
+        a = self.alpha
+        started = False
+        z = p = 0.0
+        q = 1
+        for t in range(len(y)):
+            v = float(y[t])
+            if not started:
+                if v > 0.0:
+                    z = v
+                    p = float(t + 1)
+                    q = 1
+                    started = True
+            elif v > 0.0:
+                z = a * v + (1.0 - a) * z
+                p = a * float(q) + (1.0 - a) * p
+                q = 1
+            else:
+                q += 1
+        if not started:
+            raise ValueError("CrostonModel needs at least one demand point")
+        return np.full(n_future, z / p)

@@ -213,7 +213,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPONENTS_SQL = """
+# CTE block shared with the canonical-keep decision query (registry_ops8)
+_COMPONENTS_CTES = """
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id,
     CAST(list_reduce(
@@ -254,7 +255,9 @@ WITH RECURSIVE sh AS (
   SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
 ), csize AS (
   SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1
-)
+)"""
+
+_COMPONENTS_SQL = _COMPONENTS_CTES + """
 SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
        CAST(c.component AS BIGINT) AS component,
        cluster_size

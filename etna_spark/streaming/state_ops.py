@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StructField, StructType,
+    ArrayType, DoubleType, LongType, StructField, StructType,
 )
 
 
@@ -99,4 +99,70 @@ def stream_detect_anomalies(
             detect, out_schema, state_schema, "append",
             GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_path: str,
+    schema: StructType,
+    key_col: str = "doc_id",
+    order_col: str = "crawl_id",
+    n_shards: int = 16,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming EXACT dedup: emit each key's FIRST occurrence only —
+    re-crawl suppression at the ingest edge, the streaming twin of the
+    batch ``dedup_exact`` hash-aggregate.
+
+    Keys are sharded by ``pmod(xxhash64(key), n_shards)`` so group state
+    and per-group batch size stay balanced regardless of key skew; each
+    shard's state is its seen-key list, and inside a micro-batch rows are
+    absorbed in deterministic ``(order_col, key_col)`` order, so which
+    duplicate survives is engine-independent (the lowest
+    ``(order_col, key_col)`` row wins within a shard's stream history).
+
+    State is O(unique keys) across the stream — exact by design, which is
+    the verification contract here. A production deployment at 10^12
+    sequences bounds it per key-range with state TTL
+    (``GroupStateTimeout``) or swaps the list for a Bloom/sketch state
+    accepting false drops; the operator shape (shard → stateful group →
+    append) is identical.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path).withColumn(
+        "_shard", F.pmod(F.xxhash64(key_col), F.lit(n_shards))
+    )
+
+    out_schema = StructType(list(schema))
+    state_schema = StructType([
+        StructField("seen", ArrayType(LongType())),
+    ])
+    in_cols = [f.name for f in schema]
+
+    def dedup(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(
+                [order_col, key_col], kind="mergesort"
+            )
+            keep_rows = []
+            for row in pdf.itertuples(index=False):
+                k = int(getattr(row, key_col))
+                if k not in seen:
+                    seen.add(k)
+                    keep_rows.append(row)
+            if keep_rows:
+                out = pd.DataFrame(keep_rows, columns=list(pdf.columns))
+                yield out[in_cols]
+        state.update((sorted(seen),))
+
+    return src.groupBy("_shard").applyInPandasWithState(
+        dedup, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
     )

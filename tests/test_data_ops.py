@@ -745,3 +745,75 @@ def test_pii_redact_handcrafted(spark):
     assert got[3] == (0, 1, "chain <IP>.5 tail")
     assert got[4] == (0, 0, "plain text only")
     assert got[5] == (2, 1, "two <EMAIL> <EMAIL> and <IP>")
+
+
+def test_temperature_stratified_sample_upweights_rare(spark):
+    """α=0.5 mixing: rare strata get HIGHER keep-rates than abundant
+    ones; thresholds are integer-exact and the sample is deterministic."""
+    from etna_spark.data.sampling import temperature_stratified_sample
+
+    # skewed strata: 3000 'big', 600 'mid', 60 'small'
+    rows = (
+        [(i, "big") for i in range(3000)]
+        + [(10_000 + i, "mid") for i in range(600)]
+        + [(20_000 + i, "small") for i in range(60)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string").cache()
+    out = temperature_stratified_sample(df, "doc_id", "lang").cache()
+    thr = {
+        r["lang"]: r["sample_thr"]
+        for r in out.select("lang", "sample_thr").distinct().collect()
+    }
+    # exact integer replay of the spec
+    import math
+
+    c = {"big": 3000, "mid": 600, "small": 60}
+    score = {s: math.floor(math.sqrt(v) * 1_000_000) for s, v in c.items()}
+    denom, total = sum(score.values()), sum(c.values())
+    target = (total * 1) // 2
+    expect = {
+        s: min(10_000, ((score[s] * target) // denom) * 10_000 // c[s])
+        for s in c
+    }
+    assert thr == {s: t for s, t in expect.items() if t > 0}
+    # temperature flattening: rarer stratum → higher keep-rate (the
+    # rarest hits the keep-everything cap)
+    assert expect["small"] == 10_000
+    assert expect["small"] > expect["mid"] > expect["big"]
+    # determinism
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_stratified_sample(df, "doc_id", "lang").collect()
+    }
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError, match="target fraction"):
+        temperature_stratified_sample(df, "doc_id", "lang", target_num=3,
+                                      target_den=2)
+
+
+def test_dedup_keep_canonical_invariants(spark):
+    """Exactly one keep per component; singletons keep themselves; the
+    kept doc maximizes (n_chars, -doc_id) within its cluster."""
+    from etna_spark.data.dedup import dedup_clusters
+    from etna_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    from etna_spark.registry_ops8 import q_dedup_keep_canonical
+
+    out = q_dedup_keep_canonical(spark, sf).cache()
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert set(rows) == set(chars)  # decision covers every document
+    by_comp = {}
+    for r in rows.values():
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        keeps = [m for m in members if m["keep"] == 1]
+        assert len(keeps) == 1  # exactly one survivor per cluster
+        best = max(members, key=lambda m: (chars[m["doc_id"]], -m["doc_id"]))
+        assert keeps[0]["doc_id"] == best["doc_id"]
+        assert all(m["cluster_size"] == len(members) for m in members)

@@ -420,3 +420,107 @@ def test_holt_and_ses_kernels_handcomputed():
         SESModel().kernel(np.array([1.0, np.nan]), 1)
     with _pt.raises(ValueError, match=">= 2 points"):
         HoltModel().kernel(np.array([1.0]), 1)
+
+
+def test_piecewise_trend_kernel_exact_ols():
+    """fit_trend matches numpy lstsq on the (1, t, ramp) design; the
+    forecast extrapolates trend + seasonal-phase mean."""
+    import numpy as np
+
+    from etna_spark.plans.pipeline import PiecewiseTrendModel
+
+    rng = np.random.RandomState(3)
+    n = 96
+    t = np.arange(n)
+    y = np.round(
+        50 + 3 * t + 4 * np.maximum(0, t - 48) + rng.randint(-4, 5, n)
+    ).astype(float)
+    m = PiecewiseTrendModel(seasonality=24)
+    b0, b1, b2 = m.fit_trend(y, 48)
+    X = np.column_stack([np.ones(n), t, np.maximum(0, t - 48)])
+    ref = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert np.allclose([b0, b1, b2], ref, atol=1e-8)
+
+    # zero-noise two-piece line with m=1 (no seasonal phases): the
+    # forecast continues the second piece exactly up to seasonal centring
+    y2 = (10 + 2 * t + 3 * np.maximum(0, t - 48)).astype(float)
+    m1 = PiecewiseTrendModel(seasonality=1)
+    out = m1.kernel(y2, 3)
+    # seas[0] = mean(y) - mean(y) = 0 for m=1, so pure trend
+    expect = [10 + 2 * (n - 1 + h) + 3 * (n - 1 + h - 48) for h in (1, 2, 3)]
+    assert np.allclose(out, expect, atol=1e-6)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="integer-valued"):
+        m.fit_trend(np.array([1.5] * 30), 15)
+    with _pt.raises(ValueError, match="knot\\+3"):
+        m.fit_trend(np.array([1.0, 2.0, 3.0, 4.0]), 4)
+    with _pt.raises(ValueError, match="gap-filled"):
+        m.kernel(np.array([1.0, np.nan] * 30), 1)
+
+
+def test_theta_kernel_matches_two_line_recursion():
+    """ThetaModel ≡ hand-composed OLS line + SES over 2y − line."""
+    import numpy as np
+
+    from etna_spark.plans.pipeline import SESModel, ThetaModel
+
+    rng = np.random.RandomState(7)
+    n = 60
+    t = np.arange(n)
+    y = np.round(100 + 5 * t + rng.randint(-6, 7, n)).astype(float)
+    # reference composition
+    b = (n * (t * y).sum() - t.sum() * y.sum()) / (
+        n * (t * t).sum() - t.sum() ** 2
+    )
+    a = (y.sum() - b * t.sum()) / n
+    z = 2.0 * y - (a + b * t)
+    l = z[0]
+    for v in z[1:]:
+        l = 0.5 * v + 0.5 * l
+    out = ThetaModel(alpha=0.5).kernel(y, 4)
+    expect = [0.5 * l + 0.5 * (a + b * (n - 1 + h)) for h in (1, 2, 3, 4)]
+    assert np.allclose(out, expect, atol=1e-9)
+
+    # on an exact line the theta forecast IS the line (z == line, SES
+    # over the line converges to recent values; with alpha=1 exactly)
+    y2 = (7.0 + 3.0 * t).astype(float)
+    out2 = ThetaModel(alpha=1.0).kernel(y2, 2)
+    # l = z_{n-1} = 2*y_{n-1} - line(n-1) = line(n-1)
+    e = [0.5 * (7 + 3 * (n - 1)) + 0.5 * (7 + 3 * (n - 1 + h)) for h in (1, 2)]
+    assert np.allclose(out2, e, atol=1e-9)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="integer-valued"):
+        ThetaModel().kernel(np.array([1.5, 2.5, 3.5]), 1)
+    with _pt.raises(ValueError, match=">= 3 points"):
+        ThetaModel().kernel(np.array([1.0, 2.0]), 1)
+
+
+def test_croston_kernel_handcomputed():
+    """Conditional two-state recursion against hand-unrolled arithmetic."""
+    import numpy as np
+    import pytest as _pt
+
+    from etna_spark.plans.pipeline import CrostonModel
+
+    y = np.array([0, 0, 4, 0, 0, 0, 6, 0, 2, 0, 0, 0], dtype=float)
+    # first demand t=2: z=4, p=3, q=1; zeros → q=4 by t=5
+    # t=6 (y=6): z=.5·6+.5·4=5, p=.5·4+.5·3=3.5, q=1
+    # t=8 (y=2, q=2): z=.5·2+.5·5=3.5, p=.5·2+.5·3.5=2.75
+    out = CrostonModel(alpha=0.5).kernel(y, 3)
+    assert out.tolist() == [3.5 / 2.75] * 3
+
+    # all-demand series degenerates to SES with p=1
+    y2 = np.array([4.0, 8.0, 6.0])
+    out2 = CrostonModel(alpha=0.5).kernel(y2, 1)
+    assert out2[0] == (0.5 * 6 + 0.5 * (0.5 * 8 + 0.5 * 4)) / 1.0
+
+    with _pt.raises(ValueError, match="at least one demand"):
+        CrostonModel().kernel(np.zeros(5), 1)
+    with _pt.raises(ValueError, match="non-negative"):
+        CrostonModel().kernel(np.array([1.0, -2.0]), 1)
+    with _pt.raises(ValueError, match="gap-filled"):
+        CrostonModel().kernel(np.array([1.0, np.nan]), 1)
+    with _pt.raises(ValueError, match="alpha"):
+        CrostonModel(alpha=1.5)

@@ -188,8 +188,12 @@ def test_voting_forecast_is_projection_over_joins(spark):
 
 def test_embedding_neardup_candidates_are_equi_join(spark):
     """The LSH candidate join must be a hash equi-join on (table, sig) —
-    never a cartesian/nested-loop product of the corpus with itself — and
-    all signature math stays JVM-side."""
+    never a cartesian/nested-loop product of the corpus with itself. The
+    signature stage is the ONE deliberate Arrow kernel in the dedup path
+    (similarity.py::_sig_kernel — bit-identical to the expression chain,
+    pinned by test_embedding_signature_backends_bit_identical), so the
+    plan may contain exactly one ArrowEvalPython and no row-at-a-time
+    BatchEvalPython."""
     from etna_spark.data.similarity import embedding_neardup_pairs
 
     emb = spark.createDataFrame(
@@ -199,7 +203,7 @@ def test_embedding_neardup_candidates_are_equi_join(spark):
     plan = _plan(embedding_neardup_pairs(emb, n_planes=4, dim=8))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_hierarchy_multihop_is_single_broadcast_join(spark):
@@ -225,3 +229,20 @@ def test_hierarchy_multihop_is_single_broadcast_join(spark):
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_temperature_sample_is_broadcast_filter(spark):
+    """The fact-table side of the temperature mix must stay a pure
+    projection+filter: stats join via broadcast hash join (no
+    SortMergeJoin of the corpus), no Python eval anywhere."""
+    from etna_spark.data.sampling import temperature_stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    plan = _plan(temperature_stratified_sample(df, "doc_id", "lang"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

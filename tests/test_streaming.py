@@ -165,3 +165,39 @@ def test_stateful_detector_flags_deviation_from_constant_baseline(spark, tmp_pat
     got = spark.read.parquet(out).collect()
     assert len(got) == 1
     assert got[0]["value"] == 3.0 and np.isneginf(got[0]["z"])
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """First-seen dedup: keys re-appearing in a later micro-batch are
+    suppressed by state; in-batch duplicates collapse to the lowest
+    (order, key) row; unseen keys pass through."""
+    from etna_spark.streaming.state_ops import stream_dedup_first_seen
+
+    inp = str(tmp_path / "din")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    # batch 1: keys 0..9 at crawl 0, with key 3 duplicated IN-batch at
+    # crawl 0 and crawl 5 (the crawl-0 row must win)
+    b1 = [(k, 0, f"p{k}") for k in range(10)] + [(3, 5, "dup-late")]
+    spark.createDataFrame(
+        b1, "doc_id long, crawl_id long, payload string"
+    ).coalesce(1).write.mode("overwrite").parquet(inp)
+    # batch 2: re-crawl of 0..9 (all suppressed) + new keys 10..12
+    b2 = [(k, 1, f"re{k}") for k in range(13)]
+    spark.createDataFrame(
+        b2, "doc_id long, crawl_id long, payload string"
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    schema = spark.read.parquet(inp).schema
+    s = stream_dedup_first_seen(
+        spark, inp, schema, key_col="doc_id", order_col="crawl_id",
+        n_shards=4, max_files_per_trigger=1,
+    )
+    run_available_now(s, ckpt, out)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == set(range(13))          # every key exactly once
+    assert got[3]["payload"] == "p3"           # in-batch dup: lowest order wins
+    for k in range(10):
+        assert got[k]["crawl_id"] == 0         # state suppressed the re-crawl
+    for k in (10, 11, 12):
+        assert got[k]["crawl_id"] == 1         # fresh keys pass through
