@@ -810,11 +810,20 @@ class HoltModel:
 
     supports_components = False
 
-    def __init__(self, alpha: float = 0.5, beta: float = 0.25):
+    def __init__(
+        self, alpha: float = 0.5, beta: float = 0.25, phi: float = 1.0
+    ):
         for name, v in (("alpha", alpha), ("beta", beta)):
             if not 0.0 <= v <= 1.0:
                 raise ValueError(f"{name} must be in [0, 1]")
+        if not 0.0 < phi <= 1.0:
+            raise ValueError("phi must be in (0, 1]")
         self.alpha, self.beta = alpha, beta
+        # Gardner damped trend (the reference's damped_trend=True flag,
+        # models/holt_winters.py:41): phi < 1 damps the trend both in the
+        # recursion (l + phi*b) and the forecast (sum of phi^i). phi = 1
+        # keeps the CLASSIC branch below bit-identical to before.
+        self.phi = phi
 
     @property
     def context_size(self) -> int:
@@ -829,12 +838,27 @@ class HoltModel:
         a, bt = self.alpha, self.beta
         l = float(y[0])
         b = float(y[1]) - float(y[0])
+        if self.phi == 1.0:
+            for t in range(len(y)):
+                yt = float(y[t])
+                l_new = a * yt + (1.0 - a) * (l + b)
+                b = bt * (l_new - l) + (1.0 - bt) * b
+                l = l_new
+            return np.array([l + h * b for h in range(1, n_future + 1)])
+        ph = self.phi
         for t in range(len(y)):
             yt = float(y[t])
-            l_new = a * yt + (1.0 - a) * (l + b)
-            b = bt * (l_new - l) + (1.0 - bt) * b
+            l_new = a * yt + (1.0 - a) * (l + ph * b)
+            b = bt * (l_new - l) + (1.0 - bt) * (ph * b)
             l = l_new
-        return np.array([l + h * b for h in range(1, n_future + 1)])
+        out = np.empty(n_future)
+        s_ = 0.0
+        powv = 1.0
+        for h in range(1, n_future + 1):
+            powv = powv * ph
+            s_ = s_ + powv
+            out[h - 1] = l + s_ * b
+        return out
 
 
 class SESModel:

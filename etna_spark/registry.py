@@ -352,6 +352,7 @@ _WINDOW_ORDER = [
     "tok_length_buckets",
     "croston_forecast_1h",
     "tok_length_quantiles_exact",
+    "holt_damped_forecast_1h",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
@@ -378,7 +379,6 @@ _WINDOW_ORDER = [
     "tier_refresh_incremental_1h",
     "tier_retention_1m",
     "backtest_metrics_naive_1h",
-    "ensemble_stacking_1h",
     "hierarchy_reconcile_topdown",
     "pipeline_autoregressive_1h",
     "forecast_interval_naive_1h",

@@ -736,3 +736,78 @@ def q_tok_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in _QUANTS
     ]
     return cum.groupBy("source").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Damped-trend Holt (Gardner)
+# ---------------------------------------------------------------------------
+
+
+def _holt_damped_sql(horizon: int, alpha: float, beta: float,
+                     phi: float) -> str:
+    """DuckDB twin of HoltModel(phi<1): the damped two-equation recursion
+    (``l' = αy + (1−α)(l + φb)``, ``b' = β(l'−l) + (1−β)(φb)``) plus the
+    damped forecast multiplier Σφ^i unrolled as its own tiny recursion —
+    every float op in the kernel's exact scalar order."""
+    al, omal = repr(alpha), repr(1.0 - alpha)
+    bt, ombt = repr(beta), repr(1.0 - beta)
+    ph = repr(phi)
+    return _DENSE_PTS_CTE + f"""
+, init AS (
+  SELECT s,
+    max(CASE WHEN i = 0 THEN CAST(y AS DOUBLE) END) AS y0,
+    max(CASE WHEN i = 1 THEN CAST(y AS DOUBLE) END) AS y1
+  FROM pts WHERE i < 2 GROUP BY s
+), ho AS (
+  SELECT s, -1 AS t, y0 AS l, y1 - y0 AS b FROM init
+  UNION ALL
+  SELECT q.s, q.t, q.lnew AS l,
+         {bt} * (q.lnew - q.l_old) + {ombt} * ({ph} * q.b_old) AS b
+  FROM (
+    SELECT h.s, h.t + 1 AS t, h.l AS l_old, h.b AS b_old,
+           {al} * CAST(p.y AS DOUBLE)
+             + {omal} * (h.l + {ph} * h.b) AS lnew
+    FROM ho h JOIN pts p ON p.s = h.s AND p.i = h.t + 1
+  ) q
+), damp AS (
+  SELECT 0 AS h, CAST(1 AS DOUBLE) AS powv, CAST(0 AS DOUBLE) AS sm
+  UNION ALL
+  SELECT h + 1, powv * {ph}, sm + powv * {ph}
+  FROM damp WHERE h < {horizon}
+), last_state AS (
+  SELECT h.s, h.l, h.b, z.mxb
+  FROM ho h JOIN sizes z USING (s) WHERE h.t = z.n - 1
+)
+SELECT ls.s AS event_type,
+  CAST(epoch(ls.mxb) + d.h * 3600 AS BIGINT) AS bucket_ts,
+  round(ls.l + d.sm * ls.b, 6) + 0.0 AS pred
+FROM last_state ls CROSS JOIN damp d
+WHERE d.h >= 1
+"""
+
+
+@register("holt_damped_forecast_1h", _holt_damped_sql(12, 0.5, 0.25, 0.875))
+def q_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped-trend Holt forecast (plans/pipeline.py::HoltModel with
+    φ = 0.875 — the Gardner damping the reference exposes as
+    ``damped_trend=True`` on its statsmodels wrapper, models/
+    holt_winters.py:41): trend is damped both inside the recursion and
+    in the forecast multiplier Σφ^i. φ is dyadic (7/8) so every product
+    is exact-float-representable arithmetic in both engines; the oracle
+    replays the recursion AND the damp-sum accumulation in the identical
+    op order."""
+    from etna_spark.plans.pipeline import HoltModel, Pipeline
+    from etna_spark.registry_ops5 import _dense_1h
+
+    dense = _dense_1h(spark, sf_dir)
+    p = Pipeline(
+        model=HoltModel(alpha=0.5, beta=0.25, phi=0.875), horizon=12,
+        step_seconds=3600, in_col="v", series_cols=("event_type",),
+        ts_col="bucket_ts",
+    ).fit(dense)
+    out = p.forecast()
+    return out.select(
+        "event_type",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        (F.round("v", 6) + F.lit(0.0)).alias("pred"),
+    )

@@ -524,3 +524,34 @@ def test_croston_kernel_handcomputed():
         CrostonModel().kernel(np.array([1.0, np.nan]), 1)
     with _pt.raises(ValueError, match="alpha"):
         CrostonModel(alpha=1.5)
+
+
+def test_holt_damped_trend_handcomputed():
+    """phi=0.5 damped Holt against hand-unrolled arithmetic; phi=1 is
+    bit-identical to the classic branch."""
+    import numpy as np
+    import pytest as _pt
+
+    from etna_spark.plans.pipeline import HoltModel
+
+    # y=[2,4,6], alpha=beta=0.5, phi=0.5: init l=2, b=2.
+    # t=0: lnew=.5·2+.5·(2+.5·2)=2.5; b=.5·(2.5−2)+.5·(.5·2)=0.75
+    # t=1: lnew=.5·4+.5·(2.5+.375)=3.4375; b=.5·.9375+.5·.375=0.65625
+    # t=2: lnew=.5·6+.5·(3.4375+.328125)=4.8828125;
+    #      b=.5·1.4453125+.5·.328125=0.88671875
+    out = HoltModel(alpha=0.5, beta=0.5, phi=0.5).kernel(
+        np.array([2.0, 4.0, 6.0]), 3
+    )
+    l, b = 4.8828125, 0.88671875
+    # damp sums: .5, .75, .875
+    assert out.tolist() == [l + 0.5 * b, l + 0.75 * b, l + 0.875 * b]
+
+    y = np.arange(30, dtype=float) * 2 + 5
+    a = HoltModel(alpha=0.5, beta=0.25).kernel(y, 4)
+    b2 = HoltModel(alpha=0.5, beta=0.25, phi=1.0).kernel(y, 4)
+    assert a.tolist() == b2.tolist()
+
+    with _pt.raises(ValueError, match="phi"):
+        HoltModel(phi=0.0)
+    with _pt.raises(ValueError, match="phi"):
+        HoltModel(phi=1.5)
