@@ -282,3 +282,68 @@ def pii_redact(
             PII_IPV4_RE, "<IP>",
         ).alias("text_redacted"),
     )
+
+
+def quality_gate(
+    df: DataFrame,
+    blocklist: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 95,
+    min_word_len: float = 3.8,
+    max_word_len: float = 5.2,
+    max_top2: float = 0.2,
+    max_dup3: float = 0.5,
+) -> DataFrame:
+    """Composite document-quality DECISION table — the C4 + Gopher rule
+    stack a training pipeline actually applies, with the funnel
+    attribution a data audit needs: per document one keep flag and the
+    FIRST failing rule (fixed priority order), so ``GROUP BY reason``
+    is the filter-kill breakdown.
+
+    Rules in priority order (each one already value-checked on its own
+    surface): word-count bounds and mean-word-length bounds (Gopher
+    A1.1 document heuristics), the C4 blocklist (Raffel et al.
+    §2.2), then the Gopher repetition fractions
+    (:func:`repetition_stats` — note its documented deviations; default
+    thresholds here are re-calibrated for this corpus, NOT MassiveText's
+    published values).
+
+    Every predicate compares an exactly-reproducible quantity (integer
+    counts, single-division ratios) against a literal, so the whole
+    decision table is SQL-oracle exact. Plan shape: the repetition join
+    is the only shuffle (per-doc aggregates); bounds and blocklist are
+    per-row JVM expressions."""
+    rep = repetition_stats(df, id_col=id_col, text_col=text_col,
+                           top_n=2, dup_n=3)
+    bl = blocklist_stats(df, blocklist, id_col=id_col,
+                         text_col=text_col).select(id_col, "n_blocked")
+    w = words(text_col)
+    base = df.select(
+        id_col,
+        F.size(w).alias("n_words"),
+        (
+            (F.length(text_col) - (F.size(w) - F.lit(1))) / F.size(w)
+        ).alias("mean_word_len"),
+    )
+    j = base.join(rep, on=id_col).join(bl, on=id_col)
+    reason = (
+        F.when(F.col("n_words") < min_words, "too_short")
+        .when(F.col("n_words") > max_words, "too_long")
+        .when(
+            (F.col("mean_word_len") < min_word_len)
+            | (F.col("mean_word_len") > max_word_len),
+            "word_len",
+        )
+        .when(F.col("n_blocked") > 0, "blocklist")
+        .when(F.col("top_2gram_char_frac") > max_top2, "repetition_top2")
+        .when(F.col("dup_3gram_char_frac") > max_dup3, "repetition_dup3")
+        .otherwise("ok")
+    )
+    return j.select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )

@@ -353,6 +353,7 @@ _WINDOW_ORDER = [
     "croston_forecast_1h",
     "tok_length_quantiles_exact",
     "holt_damped_forecast_1h",
+    "text_quality_gate",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
@@ -384,7 +385,6 @@ _WINDOW_ORDER = [
     "forecast_interval_naive_1h",
     "forecast_deadline_ma_1d",
     "feature_selection_mrmr",
-    "embedding_segment_1h",
     "metrics_interval_1h",
     # r5-new from-scratch model-zoo forecasts take the
     # exog_shift_auto_1h / event_proximity_1h slots (both twice-recorded;

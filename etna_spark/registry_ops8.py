@@ -811,3 +811,79 @@ def q_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_ts").cast("long").alias("bucket_ts"),
         (F.round("v", 6) + F.lit(0.0)).alias("pred"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite quality gate (C4 + Gopher rule stack, funnel-attributed)
+# ---------------------------------------------------------------------------
+
+_GATE_BLOCKLIST = ("slow", "drop", "filter")
+
+_GATE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS chars
+  FROM documents
+), g2 AS (
+  SELECT doc_id, chars,
+    unnest(CASE WHEN len(ws) >= 2 THEN list_transform(range(0, len(ws) - 1),
+      i -> array_to_string(ws[i + 1:i + 2], ' ')) ELSE [] END) AS g
+  FROM w
+), c2 AS (
+  SELECT doc_id, chars, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3
+), t2 AS (
+  SELECT doc_id, max(c * length(g)) / CAST(chars AS DOUBLE) AS topf
+  FROM c2 GROUP BY doc_id, chars
+), g3 AS (
+  SELECT doc_id, chars,
+    unnest(CASE WHEN len(ws) >= 3 THEN list_transform(range(0, len(ws) - 2),
+      i -> array_to_string(ws[i + 1:i + 3], ' ')) ELSE [] END) AS g
+  FROM w
+), c3 AS (
+  SELECT doc_id, chars, g, count(*) AS c FROM g3 GROUP BY 1, 2, 3
+), d3 AS (
+  SELECT doc_id,
+    sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+      / CAST(chars AS DOUBLE) AS dupf
+  FROM c3 GROUP BY doc_id, chars
+), feat AS (
+  SELECT w.doc_id, len(ws) AS nw,
+    (chars - (len(ws) - 1)) / CAST(len(ws) AS DOUBLE) AS mwl,
+    len(list_filter(ws,
+        x -> list_contains({list(_GATE_BLOCKLIST)!r}, lower(x)))) AS nb,
+    coalesce(t2.topf, 0.0) AS topf,
+    coalesce(d3.dupf, 0.0) AS dupf
+  FROM w
+  LEFT JOIN t2 ON t2.doc_id = w.doc_id
+  LEFT JOIN d3 ON d3.doc_id = w.doc_id
+), dec AS (
+  SELECT doc_id, nw,
+    CASE WHEN nw < 20 THEN 'too_short'
+         WHEN nw > 95 THEN 'too_long'
+         WHEN mwl < 3.8 OR mwl > 5.2 THEN 'word_len'
+         WHEN nb > 0 THEN 'blocklist'
+         WHEN topf > 0.2 THEN 'repetition_top2'
+         WHEN dupf > 0.5 THEN 'repetition_dup3'
+         ELSE 'ok' END AS reason
+  FROM feat
+)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+       reason = 'ok' AS keep, reason
+FROM dec
+"""
+
+
+@register("text_quality_gate", _GATE_SQL)
+def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-gate decision table (data/text.py::quality_gate):
+    the C4 + Gopher rule stack — word-count and mean-word-length bounds,
+    blocklist, top-2-gram and dup-3-gram repetition — evaluated in fixed
+    priority order per document, emitting keep + the FIRST failing rule.
+    Grouping by ``reason`` gives the filter-funnel breakdown a corpus
+    audit reports. Each predicate compares an exactly-reproducible
+    quantity to a literal, so keep AND attribution are value-checked
+    (thresholds re-calibrated for this synthetic corpus — see the
+    repetition_stats docstring for its documented deviations)."""
+    from etna_spark.data.text import quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_gate(docs, _GATE_BLOCKLIST)

@@ -817,3 +817,30 @@ def test_dedup_keep_canonical_invariants(spark):
         best = max(members, key=lambda m: (chars[m["doc_id"]], -m["doc_id"]))
         assert keeps[0]["doc_id"] == best["doc_id"]
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_quality_gate_priority_and_attribution(spark):
+    """keep ⇔ reason='ok'; first failing rule wins in priority order on
+    handcrafted documents that each trip exactly one rule."""
+    from etna_spark.data.text import quality_gate
+
+    # 44 DISTINCT 5-char words: no repeated 2-grams, mean word len 5.0
+    ok = " ".join(f"wrd{i:02d}" for i in range(44))
+    docs = [
+        (1, ok),                                          # ok (44 words)
+        (2, "too short text"),                            # too_short
+        (3, ("word " * 120).strip()),                     # too_long (count checked first)
+        (4, "aa " * 10 + "bb " * 15),                     # word_len (mwl ≈ 2.9)
+        (5, ok + " slow"),                                # blocklist
+        (6, ("alpha beta " * 22).strip()),                # repetition_top2 (44 words, high top-2gram)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_gate(df, ("slow",)).collect()}
+    assert out[1]["reason"] == "ok" and out[1]["keep"]
+    assert out[2]["reason"] == "too_short"
+    assert out[3]["reason"] == "too_long"
+    assert out[4]["reason"] == "word_len"
+    assert out[5]["reason"] == "blocklist"
+    assert out[6]["reason"] == "repetition_top2"
+    for r in out.values():
+        assert r["keep"] == (r["reason"] == "ok")
