@@ -246,3 +246,27 @@ def test_temperature_sample_is_broadcast_filter(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_truncate_and_quantiles_stay_jvm_side(spark):
+    """tok_vocab_truncate's remap must be per-row JVM HOFs (no Python
+    eval, no join of the fact table); tok_length_quantiles_exact must
+    window only over the domain-sized histogram (no fact-table sort)."""
+    from etna_spark.registry_ops8 import (
+        q_tok_length_quantiles,
+        q_tok_vocab_truncate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plan_t = _plan(q_tok_vocab_truncate(spark, sf))
+    assert "BatchEvalPython" not in plan_t and "ArrowEvalPython" not in plan_t
+    assert "CartesianProduct" not in plan_t
+    assert "SortMergeJoin" not in plan_t  # keep-set is a literal, not a join
+
+    plan_q = _plan(q_tok_length_quantiles(spark, sf))
+    assert "BatchEvalPython" not in plan_q and "ArrowEvalPython" not in plan_q
+    # the only sort feeding a window runs AFTER the (source, n_tok)
+    # hash-aggregate — i.e. over the tiny histogram, not the corpus
+    agg_pos = plan_q.find("HashAggregate")
+    win_pos = plan_q.find("Window")
+    assert agg_pos != -1 and win_pos != -1
