@@ -354,6 +354,8 @@ _WINDOW_ORDER = [
     "tok_length_quantiles_exact",
     "holt_damped_forecast_1h",
     "text_quality_gate",
+    "tok_epoch_shuffle",
+    "tok_holdout_split",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
@@ -381,8 +383,6 @@ _WINDOW_ORDER = [
     "tier_retention_1m",
     "backtest_metrics_naive_1h",
     "hierarchy_reconcile_topdown",
-    "pipeline_autoregressive_1h",
-    "forecast_interval_naive_1h",
     "forecast_deadline_ma_1d",
     "feature_selection_mrmr",
     "metrics_interval_1h",

@@ -887,3 +887,84 @@ def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return quality_gate(docs, _GATE_BLOCKLIST)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle + holdout split (reproducible training order)
+# ---------------------------------------------------------------------------
+
+_EPOCH = 3
+
+_SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source,
+    ((((((doc_id * 31 + {_EPOCH}) % 1000000007) + 1000000007) % 1000000007)
+       * 1103515245 + 12345) % 2147483648 + 2147483648) % 2147483648
+      AS hkey
+  FROM documents
+)
+SELECT doc_id, source,
+  CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS shuffle_rank
+FROM h
+"""
+
+
+@register("tok_epoch_shuffle", _SHUFFLE_SQL)
+def q_tok_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle order — the reproducible
+    alternative to RNG shuffling a training loader needs (same order on
+    every rerun, any cluster, any partitioning): rank documents by an
+    LCG hash of (doc_id, epoch), ties broken by doc_id. Changing the
+    epoch literal re-deals the order; a fixed epoch replays it exactly.
+    At corpus scale the rank is a range-partitioned sort on the hash key
+    (Spark's total-order exchange — uniformly distributed keys, no
+    skew); at sf scale the window is corpus-sized and the oracle replays
+    the identical modular arithmetic and tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = F.pmod(
+        F.pmod(F.col("doc_id") * 31 + F.lit(_EPOCH), F.lit(1_000_000_007))
+        * F.lit(1_103_515_245)
+        + F.lit(12_345),
+        F.lit(2_147_483_648),
+    )
+    w = Window.orderBy(F.col("hkey"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", hkey.alias("hkey"))
+        .withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+        .drop("hkey")
+    )
+
+
+_SPLIT_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+    ((((((doc_id % 1000000007) + 1000000007) % 1000000007)
+       * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648
+      % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source,
+  CASE WHEN bucket < 8000 THEN 'train'
+       WHEN bucket < 9000 THEN 'val'
+       ELSE 'test' END AS split
+FROM h
+"""
+
+
+@register("tok_holdout_split", _SPLIT_SQL)
+def q_tok_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (80/10/10) by hash-bucket
+    ranges over the SAME LCG as hash-stratified sampling — disjoint by
+    construction (bucket ranges partition [0, 10000)), stable across
+    reruns and clusters, and consistent with the mixing ops (a document
+    keeps one bucket for sampling, mixing, and splitting). Pure per-row
+    projection; the exact assignment is value-checked."""
+    from etna_spark.data.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id", "source",
+        F.when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
+        .alias("split"),
+    )

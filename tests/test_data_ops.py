@@ -844,3 +844,29 @@ def test_quality_gate_priority_and_attribution(spark):
     assert out[6]["reason"] == "repetition_top2"
     for r in out.values():
         assert r["keep"] == (r["reason"] == "ok")
+
+
+def test_shuffle_and_split_reproducible_and_disjoint(spark):
+    """Epoch shuffle is a permutation, stable across reruns; holdout
+    split partitions the corpus with ~80/10/10 mass."""
+    from etna_spark.registry_ops8 import (
+        q_tok_epoch_shuffle,
+        q_tok_holdout_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["doc_id"]: r["shuffle_rank"]
+         for r in q_tok_epoch_shuffle(spark, sf).collect()}
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in q_tok_epoch_shuffle(spark, sf).collect()}
+    assert a == b                                  # deterministic
+    assert sorted(a.values()) == list(range(1, len(a) + 1))  # permutation
+
+    s = {r["doc_id"]: r["split"] for r in q_tok_holdout_split(spark, sf).collect()}
+    assert set(s) == set(a)                        # every doc assigned once
+    from collections import Counter
+
+    c = Counter(s.values())
+    n = len(s)
+    assert 0.7 * n < c["train"] < 0.9 * n
+    assert c["train"] + c["val"] + c["test"] == n
