@@ -423,3 +423,4 @@ def _load_extra_registries() -> None:
     import etna_spark.registry_ops6  # noqa: F401
     import etna_spark.registry_ops7  # noqa: F401
     import etna_spark.registry_ops8  # noqa: F401
+    import etna_spark.registry_ops9  # noqa: F401
