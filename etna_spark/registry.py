@@ -356,6 +356,14 @@ _WINDOW_ORDER = [
     "text_quality_gate",
     "tok_epoch_shuffle",
     "tok_holdout_split",
+    # ninth-batch never-recorded (sessionization, exact ACF/PACF/ADF EDA,
+    # quantized k-means, BPE merge learning)
+    "events_sessionize",
+    "eda_acf_1h",
+    "eda_pacf_2_1h",
+    "stationarity_adf_1h",
+    "embedding_kmeans_int8",
+    "bpe_learn_merges",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
@@ -377,15 +385,14 @@ _WINDOW_ORDER = [
     # pipelines/ensembles rotate: voting/direct/eda_correlation sat out r5
     # for the three new token ops; stacking represents the ensemble solve)
     # pipelines/ensembles/hierarchy, selection, clustering, embeddings)
+    # (rotated out for the six ninth-batch rows, all ≥2x-recorded:
+    # tier_retention_1m, backtest_metrics_naive_1h,
+    # hierarchy_reconcile_topdown, forecast_deadline_ma_1d,
+    # feature_selection_mrmr, metrics_interval_1h — every one stays
+    # registered and recorded in FULLSURFACE each round)
     "tok_rollup_1m",
     "streaming_rollup_1m",
     "tier_refresh_incremental_1h",
-    "tier_retention_1m",
-    "backtest_metrics_naive_1h",
-    "hierarchy_reconcile_topdown",
-    "forecast_deadline_ma_1d",
-    "feature_selection_mrmr",
-    "metrics_interval_1h",
     # r5-new from-scratch model-zoo forecasts take the
     # exog_shift_auto_1h / event_proximity_1h slots (both twice-recorded;
     # they stay registered + recorded in FULLSURFACE)
