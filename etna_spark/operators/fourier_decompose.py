@@ -241,3 +241,57 @@ def model_decompose(
         kern, f"{key_schema}, {ts_col} {ts_type}, {comps_schema}"
     )
     return df.join(comp_df, on=[*keys, ts_col], how="left")
+
+
+def periodogram_topk(
+    df: DataFrame,
+    k: int = 3,
+    in_col: str = "target",
+    series_cols: Sequence[str] = ("segment",),
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Per-segment periodogram peaks: the k positive frequencies (DC
+    excluded) with the largest spectral power P(f) = (re^2 + im^2) / n,
+    via the exact direct DFT (same sequential float chain as
+    ``_dft_components_direct``, so a SQL oracle replays it bit-for-bit).
+
+    The reference exposes this as periodogram-based EDA
+    (analysis/eda/plots.py::plot_periodogram, scipy.signal backend); at
+    scale each segment's O(n^2) scan rides one applyInPandas group —
+    segment-parallel, state-free.
+    """
+    import math
+
+    keys = list(series_cols)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        y = pdf[in_col].to_numpy(np.float64)
+        n = len(y)
+        num_pos = _num_pos_freqs(n)
+        two_pi = 2 * math.pi
+        pw = []
+        for f in range(1, num_pos):
+            sr = 0.0
+            si = 0.0
+            for t in range(n):
+                ang = two_pi * f * t / n
+                sr = sr + y[t] * math.cos(ang)
+                si = si - y[t] * math.sin(ang)
+            pw.append((f, (sr * sr + si * si) / n))
+        top = sorted(pw, key=lambda p: (-p[1], p[0]))[:k]
+        return pd.DataFrame(
+            {
+                **{c: [pdf[c].iloc[0]] * len(top) for c in keys},
+                "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+                "freq": np.array([f for f, _ in top], dtype=np.int64),
+                "power": np.array([p for _, p in top], dtype=np.float64),
+            }
+        )
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keys
+    )
+    return df.groupBy(*keys).applyInPandas(
+        kern, f"{key_schema}, rank int, freq long, power double"
+    )

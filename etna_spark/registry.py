@@ -364,6 +364,12 @@ _WINDOW_ORDER = [
     "stationarity_adf_1h",
     "embedding_kmeans_int8",
     "bpe_learn_merges",
+    # tenth-batch never-recorded (cohorts/funnel, rational BM25,
+    # periodogram peaks)
+    "events_cohort_retention",
+    "events_funnel_3step",
+    "text_bm25_rational",
+    "eda_periodogram_top3_1h",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
@@ -373,7 +379,6 @@ _WINDOW_ORDER = [
     "embedding_neardup_pairs",
     "gorilla_decode_points_1m",
     "hierarchy_structure_2hop",
-    "make_future_grid_1h",
     "multimodal_frame_sample",
     "outliers_density_1h",
     "outliers_iqr_1h",
@@ -385,14 +390,13 @@ _WINDOW_ORDER = [
     # pipelines/ensembles rotate: voting/direct/eda_correlation sat out r5
     # for the three new token ops; stacking represents the ensemble solve)
     # pipelines/ensembles/hierarchy, selection, clustering, embeddings)
-    # (rotated out for the six ninth-batch rows, all ≥2x-recorded:
+    # (rotated out for the ninth/tenth-batch rows, all >=2x-recorded:
     # tier_retention_1m, backtest_metrics_naive_1h,
     # hierarchy_reconcile_topdown, forecast_deadline_ma_1d,
-    # feature_selection_mrmr, metrics_interval_1h — every one stays
-    # registered and recorded in FULLSURFACE each round)
-    "tok_rollup_1m",
-    "streaming_rollup_1m",
-    "tier_refresh_incremental_1h",
+    # feature_selection_mrmr, metrics_interval_1h, tok_rollup_1m,
+    # streaming_rollup_1m, tier_refresh_incremental_1h,
+    # make_future_grid_1h — every one stays registered and recorded in
+    # FULLSURFACE each round)
     # r5-new from-scratch model-zoo forecasts take the
     # exog_shift_auto_1h / event_proximity_1h slots (both twice-recorded;
     # they stay registered + recorded in FULLSURFACE)
@@ -431,3 +435,4 @@ def _load_extra_registries() -> None:
     import etna_spark.registry_ops7  # noqa: F401
     import etna_spark.registry_ops8  # noqa: F401
     import etna_spark.registry_ops9  # noqa: F401
+    import etna_spark.registry_ops10  # noqa: F401
