@@ -347,3 +347,69 @@ def quality_gate(
         (reason == "ok").alias("keep"),
         reason.alias("reason"),
     )
+
+
+def bigram_pmi(
+    tok_df: DataFrame,
+    tokens_col: str = "tokens",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent token bigrams by ratio-form PMI
+    p(xy)/(p(x)p(y)) = cnt * U^2 / (T * c1 * c2) with U = total unigrams,
+    T = total bigrams — collocation mining over the pre-tokenized corpus.
+
+    Numerator and denominator are exact BIGINT products (ANSI overflow
+    raises loudly) and the score is ONE float division, so ranking and
+    values are engine-exact; the log-PMI variant is a monotone transform
+    of this ratio (ln is not bit-portable across engines — see
+    data/ranking.py). min_count filters the unstable rare-pair tail, the
+    standard PMI practice. Corpus-sized work: two explode+hash-aggs;
+    unigram counts broadcast back onto the (vocab^2-bounded) bigram
+    table.
+    """
+    toks = F.col(tokens_col)
+    bigrams = tok_df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    uni = tok_df.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    totals = uni.agg(F.sum("c").alias("u_total")).crossJoin(
+        bc.agg(F.sum("cnt").alias("t_total"))
+    )
+    scored = (
+        bc.filter(F.col("cnt") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("c", "c1")), on="w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("c", "c2")), on="w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "cnt",
+            (
+                (F.col("cnt") * F.col("u_total") * F.col("u_total"))
+                .cast("double")
+                / (F.col("t_total") * F.col("c1") * F.col("c2"))
+                .cast("double")
+            ).alias("pmi_ratio"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(
+        F.col("pmi_ratio").desc(), F.col("cnt").desc(), "w1", "w2"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("w1", "w2", "cnt", F.round("pmi_ratio", 6).alias("pmi_ratio"),
+                "rank")
+    )

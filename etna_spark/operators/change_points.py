@@ -358,3 +358,50 @@ def find_change_points(
         *series_cols,
         F.col("start_ts").cast("timestamp").alias("change_point_ts"),
     )
+
+
+def cusum_max(
+    df: "DataFrame",
+    series_cols=("segment",),
+    ts_col: str = "timestamp",
+    value_col: str = "target",
+) -> "DataFrame":
+    """Page-style CUSUM change statistic per segment, fully integer-exact:
+    D_t = n*S_t - t*S_n over prefix sums S_t of the integer values; the
+    reported statistic is max |D_t| with its argmax position (smallest t
+    on ties). A mean shift at position t* makes |D| peak there — this is
+    the scan statistic behind the classic single-change-point test, and
+    the zero-float companion of the binseg discovery above.
+
+    One window pass (prefix sums) + one rank per segment; BIGINT
+    throughout, so ANSI overflow raises rather than degrading.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    keys = list(series_cols)
+    word = W.partitionBy(*keys).orderBy(ts_col)
+    wseg = W.partitionBy(*keys)
+    run = word.rowsBetween(W.unboundedPreceding, W.currentRow)
+    d = df.select(
+        *keys,
+        F.row_number().over(word).alias("t"),
+        F.count("*").over(wseg).alias("n"),
+        F.sum(value_col).over(run).alias("st"),
+        F.sum(value_col).over(wseg).alias("sn"),
+    ).select(
+        *keys, "t", "n",
+        F.abs(F.col("n") * F.col("st") - F.col("t") * F.col("sn"))
+        .alias("absd"),
+    )
+    ranked = d.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy(*keys).orderBy(F.col("absd").desc(), F.col("t"))
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        *keys, F.col("n").alias("n_obs"),
+        F.col("absd").alias("cusum_max"),
+        F.col("t").alias("argmax_t"),
+    )

@@ -32,3 +32,22 @@ def describe_series(
         F.count("*").alias("length"),
         F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("num_missing"),
     )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    series_cols=("segment",),
+) -> DataFrame:
+    """First-significant-digit distribution of a positive integer measure
+    per segment — the Benford's-law data-quality audit (fabricated or
+    unit-mangled measures skew the digit histogram). Digit extraction is
+    string-based (substr of the decimal rendering), so it is exact in
+    any engine; output counts are integers. One hash aggregation."""
+    keys = list(series_cols)
+    digit = F.substring(F.col(value_col).cast("string"), 1, 1).cast("int")
+    return (
+        df.filter(F.col(value_col) > 0)
+        .groupBy(*keys, digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -180,3 +180,48 @@ def window_stat(
         return pdf[in_cols + [out_col]]
 
     return df.groupBy(*series_cols).applyInPandas(apply_fn, schema=out_schema)
+
+
+def rolling_corr_pair(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    window: int = 24,
+    ts_col: str = "bucket_ts",
+    out_col: str = "corr",
+):
+    """Trailing-window Pearson correlation between two aligned integer
+    series (one row per timestamp, both measures present). Exact-chain
+    discipline: the five window sums are BIGINT (reduction-order-proof),
+    and the closing float ops run in one fixed order —
+    num / (sqrt(d1) * sqrt(d2)) — identical in any IEEE engine (sqrt is
+    correctly rounded in both Spark and DuckDB).
+
+    Emitted only for full windows; zero-variance windows yield NULL.
+    Reference twin: the rolling feature family of WindowStatistics plus
+    the pairwise correlation EDA (plot_correlation_matrix) — here as a
+    time-resolved pair statistic.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(ts_col).rowsBetween(-(window - 1), 0)
+    x, y = F.col(x_col), F.col(y_col)
+    n = F.lit(window)
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxx = F.sum(x * x).over(w)
+    syy = F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+    cnt = F.count("*").over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    d1 = (n * sxx - sx * sx).cast("double")
+    d2 = (n * syy - sy * sy).cast("double")
+    corr = F.when(
+        (d1 > 0) & (d2 > 0), num / (F.sqrt(d1) * F.sqrt(d2))
+    )
+    return (
+        df.withColumn("_cnt", cnt)
+        .withColumn(out_col, F.round(corr, 6))
+        .filter(F.col("_cnt") >= window)
+        .drop("_cnt")
+    )

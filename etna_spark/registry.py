@@ -370,6 +370,12 @@ _WINDOW_ORDER = [
     "events_funnel_3step",
     "text_bm25_rational",
     "eda_periodogram_top3_1h",
+    # eleventh-batch never-recorded (rolling pair corr, CUSUM, PMI,
+    # Benford audit)
+    "window_corr_pair_1h",
+    "eda_cusum_max_1h",
+    "tok_bigram_pmi",
+    "events_benford_digits",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
@@ -379,11 +385,7 @@ _WINDOW_ORDER = [
     "embedding_neardup_pairs",
     "gorilla_decode_points_1m",
     "hierarchy_structure_2hop",
-    "multimodal_frame_sample",
     "outliers_density_1h",
-    "outliers_iqr_1h",
-    "outliers_mad_1h",
-    "power_yeojohnson_1h",
     "tier_lineage_ledger",
     "train_test_split_1h",
     # twice-recorded family representatives (north-rule tiers/streaming,
@@ -436,3 +438,4 @@ def _load_extra_registries() -> None:
     import etna_spark.registry_ops8  # noqa: F401
     import etna_spark.registry_ops9  # noqa: F401
     import etna_spark.registry_ops10  # noqa: F401
+    import etna_spark.registry_ops11  # noqa: F401

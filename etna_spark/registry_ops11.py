@@ -1,0 +1,193 @@
+"""Eleventh operator registry batch: rolling pair correlation, exact
+CUSUM change statistic, bigram PMI collocations, Benford digit audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etna_spark.registry import _TOK_CTE, register
+from etna_spark.registry_ops2 import _H_SERIES
+from etna_spark.sources.testdata import load_table
+from etna_spark.synth import doc_token_table
+
+# ---------------------------------------------------------------------------
+# Rolling pair correlation (operators/window_stats.py::rolling_corr_pair)
+# ---------------------------------------------------------------------------
+
+_CORR_SQL = _H_SERIES + """
+, x AS (
+  SELECT bucket_ts, value_cents AS x FROM series WHERE event_type = 'click'
+), y AS (
+  SELECT bucket_ts, value_cents AS y FROM series
+  WHERE event_type = 'purchase'
+), j AS (
+  SELECT bucket_ts, x, y FROM x JOIN y USING (bucket_ts)
+), win AS (
+  SELECT bucket_ts, count(*) OVER w AS cnt,
+    CAST(sum(x) OVER w AS BIGINT) AS sx,
+    CAST(sum(y) OVER w AS BIGINT) AS sy,
+    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+  FROM j WINDOW w AS (ORDER BY bucket_ts
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts,
+  round(CASE WHEN (24*sxx - sx*sx) > 0 AND (24*syy - sy*sy) > 0 THEN
+    CAST(24*sxy - sx*sy AS DOUBLE)
+    / (sqrt(CAST(24*sxx - sx*sx AS DOUBLE))
+       * sqrt(CAST(24*syy - sy*sy AS DOUBLE))) END, 6) AS corr
+FROM win WHERE cnt >= 24
+"""
+
+
+@register("window_corr_pair_1h", _CORR_SQL)
+def q_window_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h Pearson correlation between the click and purchase
+    hourly cent series (operators/window_stats.py::rolling_corr_pair) —
+    the time-resolved pair statistic behind the reference's correlation
+    EDA. BIGINT window sums, one fixed float chain, full windows only.
+    This single-pair instance runs in one task (~700 rows); at scale the
+    same expression partitions by the series-pair key."""
+    from etna_spark.operators.window_stats import rolling_corr_pair
+    from etna_spark.registry_ops2 import _events_1h
+
+    s = _events_1h(spark, sf_dir)
+    x = s.filter(F.col("event_type") == "click").select(
+        "bucket_ts", F.col("value_cents").alias("x")
+    )
+    y = s.filter(F.col("event_type") == "purchase").select(
+        "bucket_ts", F.col("value_cents").alias("y")
+    )
+    j = x.join(y, on="bucket_ts")
+    out = rolling_corr_pair(j, "x", "y", window=24, ts_col="bucket_ts")
+    return out.select(
+        F.col("bucket_ts").cast("long").alias("bucket_ts"), "corr"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change statistic (operators/change_points.py::cusum_max)
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = _H_SERIES + """
+, pre AS (
+  SELECT event_type,
+    row_number() OVER w AS t,
+    count(*) OVER (PARTITION BY event_type) AS n,
+    CAST(sum(value_cents) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS st,
+    CAST(sum(value_cents) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+  FROM series WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), d AS (
+  SELECT event_type, t, n, abs(n * st - t * sn) AS absd FROM pre
+), r AS (
+  SELECT event_type, n, absd, t,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY absd DESC, t) AS rk
+  FROM d
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+       CAST(absd AS BIGINT) AS cusum_max, CAST(t AS BIGINT) AS argmax_t
+FROM r WHERE rk = 1
+"""
+
+
+@register("eda_cusum_max_1h", _CUSUM_SQL)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-style CUSUM scan statistic per segment
+    (operators/change_points.py::cusum_max): max_t |n*S_t - t*S_n| over
+    integer prefix sums — the single-change-point test companion of the
+    binseg discovery queries, with ZERO float operations anywhere."""
+    from etna_spark.operators.change_points import cusum_max
+    from etna_spark.registry_ops2 import _events_1h
+
+    s = _events_1h(spark, sf_dir)
+    out = cusum_max(
+        s, series_cols=("event_type",), ts_col="bucket_ts",
+        value_col="value_cents",
+    )
+    return out.select(
+        "event_type",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("cusum_max").cast("long").alias("cusum_max"),
+        F.col("argmax_t").cast("long").alias("argmax_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations (data/text.py::bigram_pmi)
+# ---------------------------------------------------------------------------
+
+_PMI_SQL = _TOK_CTE + """
+, bg AS (
+  SELECT tokens[i] AS w1, tokens[i + 1] AS w2 FROM tok
+  CROSS JOIN UNNEST(range(1, len(tokens))) AS u(i)
+), bc AS (
+  SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2
+), uni AS (
+  SELECT unnest(tokens) AS w FROM tok
+), uc AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS u_total,
+         (SELECT CAST(count(*) AS BIGINT) FROM bg) AS t_total
+), scored AS (
+  SELECT w1, w2, cnt,
+    CAST(cnt * u_total * u_total AS DOUBLE)
+    / CAST(t_total * c1.c * c2.c AS DOUBLE) AS pmi_ratio
+  FROM bc JOIN uc c1 ON bc.w1 = c1.w JOIN uc c2 ON bc.w2 = c2.w
+  CROSS JOIN tot
+  WHERE cnt >= 5
+), ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY pmi_ratio DESC, cnt DESC, w1, w2) AS rank
+  FROM scored
+)
+SELECT w1, w2, cnt, round(pmi_ratio, 6) AS pmi_ratio,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 20
+"""
+
+
+@register("tok_bigram_pmi", _PMI_SQL)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by ratio-form PMI over the
+    pre-tokenized sequences (data/text.py::bigram_pmi). Exact BIGINT
+    numerator/denominator products, one float division — values AND
+    ranking value-checked (log-PMI is a monotone transform; ln is not
+    bit-portable across engines)."""
+    from etna_spark.data.text import bigram_pmi
+
+    tt = doc_token_table(spark, sf_dir)
+    return bigram_pmi(tt, tokens_col="tokens", min_count=5, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# Benford digit audit (operators/describe.py::benford_digits)
+# ---------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+SELECT event_type,
+  CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+  count(*) AS n
+FROM (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+) WHERE vc > 0
+GROUP BY 1, 2
+"""
+
+
+@register("events_benford_digits", _BENFORD_SQL)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit histogram of event cents per event type
+    (operators/describe.py::benford_digits) — the Benford's-law
+    data-quality audit. String-based digit extraction is exact in any
+    engine; one hash aggregation."""
+    from etna_spark.operators.describe import benford_digits
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "vc", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    return benford_digits(ev, "vc", series_cols=("event_type",))

@@ -1,0 +1,70 @@
+"""Unit tests for the eleventh operator batch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_rolling_corr_pair_matches_numpy(spark):
+    from etna_spark.operators.window_stats import rolling_corr_pair
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 1000, 40)
+    y = x + rng.integers(-100, 100, 40)  # strongly correlated
+    rows = [(int(t), int(a), int(b)) for t, (a, b) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, "ts long, x long, y long")
+    out = {r["ts"]: r["corr"]
+           for r in rolling_corr_pair(df, "x", "y", window=10,
+                                      ts_col="ts").collect()}
+    assert min(out) == 9 and max(out) == 39  # full windows only
+    for t in (9, 20, 39):
+        w = slice(t - 9, t + 1)
+        expect = np.corrcoef(x[w], y[w])[0, 1]
+        assert out[t] == pytest.approx(expect, abs=2e-6)
+
+
+def test_rolling_corr_zero_variance_is_null(spark):
+    from etna_spark.operators.window_stats import rolling_corr_pair
+
+    rows = [(t, 5, t) for t in range(6)]  # x constant
+    df = spark.createDataFrame(rows, "ts long, x long, y long")
+    out = rolling_corr_pair(df, "x", "y", window=3, ts_col="ts").collect()
+    assert all(r["corr"] is None for r in out)
+
+
+def test_cusum_max_detects_mean_shift(spark):
+    from etna_spark.operators.change_points import cusum_max
+
+    y = [100] * 50 + [500] * 50  # shift at position 50
+    rows = [("s", t, v) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "segment string, t long, y long")
+    r = cusum_max(df, series_cols=("segment",), ts_col="t",
+                  value_col="y").collect()[0]
+    assert r["argmax_t"] == 50  # peak at the last pre-shift prefix
+    # D_50 = n*S_50 - 50*S_n = 100*5000 - 50*30000 = -1_000_000
+    assert r["cusum_max"] == 1_000_000
+    assert r["n_obs"] == 100
+
+
+def test_bigram_pmi_favors_exclusive_pairs(spark):
+    from etna_spark.data.text import bigram_pmi
+
+    # token 7 always followed by 8 (exclusive); 1/2 mixed everywhere
+    seqs = [[7, 8, 1, 2, 1] for _ in range(5)] + [[2, 1, 2, 1, 2]] * 5
+    df = spark.createDataFrame([(s,) for s in seqs], "tokens array<int>")
+    out = bigram_pmi(df, min_count=5, top_k=5).collect()
+    top = sorted(out, key=lambda r: r["rank"])[0]
+    assert (top["w1"], top["w2"]) == (7, 8)
+
+
+def test_benford_digits(spark):
+    from etna_spark.operators.describe import benford_digits
+
+    rows = [("a", 123), ("a", 19), ("a", 999), ("a", 20), ("a", -5),
+            ("b", 7)]
+    df = spark.createDataFrame(rows, "segment string, v long")
+    out = {(r["segment"], r["digit"]): r["n"]
+           for r in benford_digits(df, "v").collect()}
+    assert out == {("a", 1): 2, ("a", 9): 1, ("a", 2): 1, ("b", 7): 1}
