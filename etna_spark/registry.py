@@ -376,6 +376,7 @@ _WINDOW_ORDER = [
     "eda_cusum_max_1h",
     "tok_bigram_pmi",
     "events_benford_digits",
+    "streaming_sessionize",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
@@ -385,7 +386,6 @@ _WINDOW_ORDER = [
     "embedding_neardup_pairs",
     "gorilla_decode_points_1m",
     "hierarchy_structure_2hop",
-    "outliers_density_1h",
     "tier_lineage_ledger",
     "train_test_split_1h",
     # twice-recorded family representatives (north-rule tiers/streaming,

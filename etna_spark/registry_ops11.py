@@ -191,3 +191,76 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vc", F.round(F.col("value") * 100, 0).cast("long")
     )
     return benford_digits(ev, "vc", series_cols=("event_type",))
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization (streaming/session_stream.py)
+# ---------------------------------------------------------------------------
+
+_STREAM_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS vc,
+    -- session_window merges while next.ts <= prev.ts + gap (boundary
+    -- INCLUSIVE, pinned by pytest), identical to the batch strict-> rule
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+         THEN 1 ELSE 0 END AS st
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, vc,
+    sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+)
+SELECT user_id,
+  CAST(min(epoch_us(ts) // 1000000) AS BIGINT) AS session_start,
+  CAST(max(epoch_us(ts) // 1000000) AS BIGINT) AS session_end,
+  count(*) AS n_events,
+  CAST(sum(vc) AS BIGINT) AS value_sum
+FROM numbered GROUP BY user_id, session_idx
+"""
+
+
+@register("streaming_sessionize", _STREAM_SESSION_SQL)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization via NATIVE session windows
+    (streaming/session_stream.py::stream_sessionize): readStream →
+    session_window(gap=4h) aggregation → availableNow drain into a
+    parquet sink, read back. The oracle recomputes every session
+    boundary and aggregate in batch SQL — green pins streaming session
+    merging ≡ the batch gap rule (split only when gap > 4h, boundary
+    inclusive, microsecond precision) for starts, ends, counts, AND
+    cent sums."""
+    import datetime as _dt
+    import os
+
+    from etna_spark.registry_ops6 import _scratch
+    from etna_spark.streaming.rollup_stream import run_available_now
+    from etna_spark.streaming.session_stream import stream_sessionize
+
+    base = _scratch(sf_dir, "sessq")
+    in_path = os.path.join(base, "input")
+    out_path = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, mx + _dt.timedelta(hours=9), 0)],
+        "user_id long, ts timestamp, vc long",
+    )
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite") \
+        .parquet(in_path)
+    schema = spark.read.parquet(in_path).schema
+    sdf = stream_sessionize(
+        spark, in_path, schema, user_col="user_id", ts_col="ts",
+        gap="4 hours", value_col="vc", watermark="0 seconds",
+    )
+    run_available_now(sdf, ckpt, out_path)
+    out = spark.read.parquet(out_path).filter(F.col("user_id") >= 0)
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events", "value_sum"
+    )

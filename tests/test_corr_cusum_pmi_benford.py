@@ -68,3 +68,40 @@ def test_benford_digits(spark):
     out = {(r["segment"], r["digit"]): r["n"]
            for r in benford_digits(df, "v").collect()}
     assert out == {("a", 1): 2, ("a", 9): 1, ("a", 2): 1, ("b", 7): 1}
+
+
+def test_stream_sessionize_matches_batch_rule(spark, tmp_path):
+    import datetime as dt
+
+    from etna_spark.streaming.rollup_stream import run_available_now
+    from etna_spark.streaming.session_stream import stream_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10), (1, base + dt.timedelta(hours=1), 20),
+        # exactly gap later -> session_window still MERGES (inclusive
+        # boundary, same as the batch strict-> rule)
+        (1, base + dt.timedelta(hours=5), 30),
+        (2, base, 40),
+        # sentinel to flush
+        (-1, base + dt.timedelta(days=2), 0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, vc long")
+    in_path, out_path, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    df.coalesce(1).write.parquet(in_path)
+    sdf = stream_sessionize(
+        spark, in_path, df.schema, gap="4 hours", value_col="vc",
+        watermark="0 seconds",
+    )
+    run_available_now(sdf, ckpt, out_path)
+    out = spark.read.parquet(out_path).filter("user_id >= 0").collect()
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"],
+                                                r["session_end"])
+           for r in out}
+    e0 = int(base.timestamp())
+    assert got == {
+        (1, e0): (3, 60, e0 + 5 * 3600),
+        (2, e0): (1, 40, e0),
+    }
