@@ -270,3 +270,60 @@ def test_vocab_truncate_and_quantiles_stay_jvm_side(spark):
     agg_pos = plan_q.find("HashAggregate")
     win_pos = plan_q.find("Window")
     assert agg_pos != -1 and win_pos != -1
+
+
+def test_sessionize_is_single_exchange_chain(spark):
+    """session_stats: the window and the session aggregation share the
+    user-key partitioning — exactly ONE shuffle, no Python."""
+    from etna_spark.operators.sessionize import session_stats
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
+        "vc", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    out = session_stats(ev, key_cols=("user_id",), ts_col="ts",
+                        gap_s=14400, value_col="vc")
+    plan = _plan(out)
+    # formatted plans list each node twice (tree + detail): one Exchange
+    assert plan.count("+- Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_pmi_joins_are_broadcast_no_python(spark):
+    """Unigram counts and totals ride broadcast joins onto the bigram
+    table; the only nested-loop joins are the 1-row totals frame."""
+    from etna_spark.data.text import bigram_pmi
+
+    tok = spark.createDataFrame(
+        [([1, 2, 3, 1, 2],), ([2, 3, 2, 3, 1],)], "tokens array<int>"
+    )
+    plan = _plan(bigram_pmi(tok, min_count=1, top_k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # 1-row totals are BNLJ, fine
+
+
+def test_kmeans_quantized_stays_jvm_side(spark):
+    """Distance fold + argmin are HOF expressions — no Python eval and
+    no join at all in the assignment plan."""
+    from etna_spark.data.kmeans import kmeans_quantized
+
+    emb = spark.createDataFrame(
+        [(i, [0.1 * i, 0.2]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(kmeans_quantized(emb, k=2, rounds=2))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_funnel_stages_and_cohorts_have_no_python(spark):
+    from etna_spark.operators.cohorts import cohort_retention, funnel
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    for q in (
+        funnel(ev, steps=("view", "click", "purchase")),
+        cohort_retention(ev),
+    ):
+        plan = _plan(q)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
