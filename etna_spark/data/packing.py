@@ -160,3 +160,55 @@ def block_checksums(packed: DataFrame) -> DataFrame:
             lambda a, x: a + x,
         ).alias("pos_checksum"),
     )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-document sliding-window chunking with overlap — the
+    context-window preparation step for long-document training and RAG
+    indexing (each chunk re-reads ``chunk_size - stride`` tokens of its
+    predecessor so no span is ever split across a boundary unseen).
+
+    Chunk ``i`` covers token positions ``[i*stride, i*stride +
+    chunk_size)`` clipped to the document; every start below ``n_tok``
+    emits a chunk, so short documents yield exactly one. Pure JVM HOFs
+    (sequence + posexplode + slice), no shuffle at all — the op is
+    embarrassingly parallel over documents.
+
+    Returns (id, chunk_idx, chunk_len, chunk_checksum) where the
+    checksum is the position-weighted token sum — the same
+    reorder-sensitive value gate used by tok_vocab_truncate /
+    tok_dup_span_removal.
+    """
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    max_i = F.floor((n - F.lit(1)) / F.lit(stride)).cast("int")
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.posexplode(F.sequence(F.lit(0), max_i)).alias("chunk_idx", "_i"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.slice(
+            F.col("_t"), F.col("_i") * stride + 1, chunk_size
+        ).alias("_c"),
+    )
+    pos_weighted = F.zip_with(
+        F.col("_c").cast("array<long>"),
+        F.sequence(F.lit(1), F.size("_c")).cast("array<long>"),
+        lambda t, j: t * j,
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size("_c").alias("chunk_len"),
+        F.aggregate(
+            pos_weighted, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("chunk_checksum"),
+    )

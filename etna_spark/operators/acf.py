@@ -1,9 +1,10 @@
 """Autocorrelation / stationarity EDA over per-segment integer series.
 
 Parity target: the reference's ACF analysis plots and statsmodels-backed
-stationarity checks (``/root/reference/etna/analysis/eda/plots.py``
-``acf_plot``; ``sample_acf`` semantics) — re-expressed as exact
-distributed statistics instead of driver-side statsmodels calls.
+stationarity checks (``/root/reference/etna/analysis/eda/plots.py:523``
+``acf_plot``, ``:35-36`` ``plot_acf``/``plot_pacf`` re-exports) —
+re-expressed as exact distributed statistics instead of driver-side
+statsmodels calls.
 
 Cross-engine exactness strategy (SURVEY.md §4.3, same discipline as
 ``detrend_linear_1h``): every statistic is assembled from BIGINT

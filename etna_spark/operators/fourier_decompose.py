@@ -256,7 +256,8 @@ def periodogram_topk(
     ``_dft_components_direct``, so a SQL oracle replays it bit-for-bit).
 
     The reference exposes this as periodogram-based EDA
-    (analysis/eda/plots.py::plot_periodogram, scipy.signal backend); at
+    (``/root/reference/etna/analysis/eda/plots.py:156``
+    ``plot_periodogram``, scipy.signal backend); at
     scale each segment's O(n^2) scan rides one applyInPandas group —
     segment-parallel, state-free.
     """

@@ -377,10 +377,10 @@ _WINDOW_ORDER = [
     "tok_bigram_pmi",
     "events_benford_digits",
     "streaming_sessionize",
+    "tok_chunk_overlap",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
-    "changepoints_l2_breakpoints_1h",
     "clustering_dtw_events",
     "clustering_single_linkage_1h",
     "embedding_neardup_pairs",

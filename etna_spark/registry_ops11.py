@@ -264,3 +264,40 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "session_start", "session_end", "n_events", "value_sum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (data/packing.py::chunk_with_overlap)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SQL = _TOK_CTE + """
+, c AS (
+  SELECT doc_id, i AS chunk_idx,
+    tokens[i * 48 + 1 : i * 48 + 64] AS chunk
+  FROM tok CROSS JOIN UNNEST(
+    range(0, CAST(floor((len(tokens) - 1) / 48) AS INTEGER) + 1)) AS u(i)
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+  CAST(len(chunk) AS INTEGER) AS chunk_len,
+  CAST(list_reduce(
+    [CAST(0 AS BIGINT)] || list_transform(range(1, len(chunk) + 1),
+                                          j -> CAST(chunk[j] AS BIGINT) * j),
+    (a, x) -> a + x) AS BIGINT) AS chunk_checksum
+FROM c
+"""
+
+
+@register("tok_chunk_overlap", _CHUNK_SQL)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap over the pre-tokenized
+    sequences (data/packing.py::chunk_with_overlap — chunk 64 / stride
+    48, the long-document context-window prep every pretraining/RAG
+    pipeline runs). Shuffle-free (sequence + posexplode + slice, all
+    JVM); the position-weighted checksum value-gates the exact chunk
+    CONTENT, not just counts."""
+    from etna_spark.data.packing import chunk_with_overlap
+
+    tt = doc_token_table(spark, sf_dir)
+    return chunk_with_overlap(
+        tt, chunk_size=64, stride=48, id_col="doc_id", tokens_col="tokens"
+    )

@@ -105,3 +105,25 @@ def test_stream_sessionize_matches_batch_rule(spark, tmp_path):
         (1, e0): (3, 60, e0 + 5 * 3600),
         (2, e0): (1, 40, e0),
     }
+
+
+def test_chunk_with_overlap_covers_and_overlaps(spark):
+    from etna_spark.data.packing import chunk_with_overlap
+
+    toks = list(range(1, 101))  # 100 tokens
+    df = spark.createDataFrame([(1, toks)], "doc_id long, tokens array<int>")
+    out = sorted(
+        chunk_with_overlap(df, chunk_size=64, stride=48).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts 0, 48, 96 -> lens 64, 52, 4
+    assert [(r["chunk_idx"], r["chunk_len"]) for r in out] == [
+        (0, 64), (1, 52), (2, 4)
+    ]
+    # checksum of chunk 2 = tokens[96..99] position-weighted:
+    # 97*1 + 98*2 + 99*3 + 100*4 = 990
+    assert out[2]["chunk_checksum"] == 990
+    # short doc -> exactly one chunk
+    df2 = spark.createDataFrame([(2, [5, 6])], "doc_id long, tokens array<int>")
+    out2 = chunk_with_overlap(df2, chunk_size=64, stride=48).collect()
+    assert len(out2) == 1 and out2[0]["chunk_len"] == 2
