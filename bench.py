@@ -349,6 +349,29 @@ def main() -> None:
         lambda: efill.agg(F.sum("v"), F.count("*")).collect(),
     )
 
+    # -- 9. sessionization over the token stream -------------------------------
+    # The r5 session family at bench scale: hash the 32M-row token stream
+    # onto 100k synthetic user keys and run the full gap-rule window +
+    # session aggregation (operators/sessionize.py — one user-keyed
+    # shuffle). Input-sized (full scan every run), so timed_median3.
+    from etna_spark.operators.sessionize import session_stats
+
+    sess_in = tt.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(100_000)).alias("user_id"),
+        F.col("event_ts").alias("ts"),
+        F.col("n_tok").cast("long").alias("vc"),
+    )
+    sess_box: dict = {}
+
+    def run_sessionize() -> None:
+        s = session_stats(
+            sess_in, key_cols=("user_id",), ts_col="ts", gap_s=600,
+            value_col="vc",
+        )
+        sess_box["n"] = s.count()
+
+    timed_median3("sessionize_32m", run_sessionize)
+
     wall = time.time() - t_all
     # headline value = Σ reported per-query times: STEADY-STATE for the
     # tier-sized stages (timed_steady) and MEDIAN-OF-3 for the input-sized
@@ -386,6 +409,7 @@ def main() -> None:
         "dedup_pairs": int(dedup_box["pairs"]),
         "neardup_vecs": N_VECS,
         "neardup_pairs": int(dedup_box["emb_pairs"]),
+        "sessions": int(sess_box["n"]),
     }
     spark.stop()
     print(json.dumps(result))
