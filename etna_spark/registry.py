@@ -378,10 +378,10 @@ _WINDOW_ORDER = [
     "events_benford_digits",
     "streaming_sessionize",
     "tok_chunk_overlap",
+    "kalman_level_1h",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
-    "clustering_dtw_events",
     "clustering_single_linkage_1h",
     "embedding_neardup_pairs",
     "gorilla_decode_points_1m",
@@ -439,3 +439,4 @@ def _load_extra_registries() -> None:
     import etna_spark.registry_ops9  # noqa: F401
     import etna_spark.registry_ops10  # noqa: F401
     import etna_spark.registry_ops11  # noqa: F401
+    import etna_spark.registry_ops12  # noqa: F401

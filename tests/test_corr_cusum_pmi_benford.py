@@ -127,3 +127,29 @@ def test_chunk_with_overlap_covers_and_overlaps(spark):
     df2 = spark.createDataFrame([(2, [5, 6])], "doc_id long, tokens array<int>")
     out2 = chunk_with_overlap(df2, chunk_size=64, stride=48).collect()
     assert len(out2) == 1 and out2[0]["chunk_len"] == 2
+
+
+def test_kalman_level_matches_scalar_reference(spark):
+    import numpy as np
+
+    from etna_spark.operators.kalman import kalman_level
+
+    rng = np.random.default_rng(2)
+    y = (1000 + rng.normal(0, 50, 80).cumsum()).round(0)
+    rows = [("s", int(t), float(v)) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "segment string, ts long, y double")
+    out = {r["ts"]: r["level"]
+           for r in kalman_level(df, q_var=25.0, r_var=400.0, in_col="y",
+                                 series_cols=("segment",),
+                                 ts_col="ts").collect()}
+    # scalar replay
+    a, p = y[0], 400.0
+    assert out[0] == a
+    for t in range(1, len(y)):
+        p_pred = p + 25.0
+        k = p_pred / (p_pred + 400.0)
+        a = a + k * (y[t] - a)
+        p = (1.0 - k) * p_pred
+        assert out[t] == a  # bit-identical scalar chain
+    # steady-state gain sanity: level tracks between y and previous level
+    assert abs(out[79] - y[79]) < abs(y[79] - y[78]) + 50
