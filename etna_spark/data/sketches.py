@@ -1,0 +1,142 @@
+"""Deterministic streaming sketches: HyperLogLog cardinality and
+Count-Min frequency, on the repo's replayable LCG hash.
+
+Both sketches are the canonical 100 TB approximate-analytics operators
+(Flajolet et al. 2007; Cormode & Muthukrishnan 2005): register/counter
+state is tiny and mergeable, so at scale they ride ordinary partial
+aggregation. Production engines use xxhash-family hashes; this module
+deliberately uses the package's LCG chain (data/sampling.py constants)
+because it is replayable in ANSI SQL via ``((x % m) + m) % m``
+arithmetic — which puts the ENTIRE sketch, register contents and
+estimator float chain included, under the DuckDB value-hash gate.
+Exactness notes:
+
+- HLL's estimator sums 2^-rho over the registers: every addend is a
+  dyadic rational in [2^-33, 1], so double addition is EXACT regardless
+  of aggregation order — the one potentially order-sensitive float sum
+  in the sketch is order-proof by construction.
+- Count-Min is all-integer (counters, point queries, min over rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P = 1_000_000_007
+_A = 1_103_515_245
+_C = 12_345
+_M = 2_147_483_648  # 2^31
+
+HLL_M = 64          # registers (p = 6 bucket bits)
+HLL_VALUE_BITS = 25  # bits of the LCG value used for the rho geometric
+# alpha_64 = 0.7213 / (1 + 1.079/64), the standard HLL bias constant —
+# one shared literal, identical in both engines
+HLL_ALPHA = 0.709092
+CMS_W = 256
+CMS_D = 4
+
+
+def _lcg(key: Column, salt: int) -> Column:
+    k = F.pmod(key.cast("long") + F.lit(salt).cast("long"), F.lit(_P))
+    return F.pmod(k * F.lit(_A) + F.lit(_C), F.lit(_M))
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate over ``key_col``
+    (raw estimator, no small/large-range correction — ln() is not
+    bit-portable across engines, so the correction branch would break
+    the value gate; the raw estimate is the documented output).
+
+    Returns (*group_cols, hll_estimate double round6). State is
+    m=64 registers per group — a 64-row aggregate regardless of input
+    size."""
+    g = list(group_cols)
+    h = _lcg(F.col(key_col), 0)
+    bucket = F.pmod(h, F.lit(HLL_M))
+    v = F.floor(h / HLL_M).cast("long") % F.lit(1 << HLL_VALUE_BITS)
+    # rho = leading zeros of the value's HLL_VALUE_BITS window + 1;
+    # bin() renders without leading zeros in both engines
+    rho = F.when(v == 0, F.lit(HLL_VALUE_BITS + 1)).otherwise(
+        F.lit(HLL_VALUE_BITS) - F.length(F.bin(v)) + 1
+    )
+    regs = (
+        df.select(*g, bucket.alias("b"), rho.alias("rho"))
+        .groupBy(*g, "b")
+        .agg(F.max("rho").alias("r"))
+    )
+    # spine of all m registers per group (missing register -> rho 0)
+    reg_ids = df.sparkSession.range(HLL_M).select(F.col("id").alias("b"))
+    spine = (
+        df.select(*g).distinct().crossJoin(reg_ids) if g else reg_ids
+    )
+    regs = spine.join(regs, on=[*g, "b"], how="left").withColumn(
+        "r", F.coalesce(F.col("r"), F.lit(0))
+    )
+    # sum of 2^-r: dyadic addends -> exact double sum in any order
+    est = (
+        regs.groupBy(*g)
+        .agg(F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"))
+        .select(
+            *g,
+            F.round(
+                F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("z"), 6
+            ).alias("hll_estimate"),
+        )
+    )
+    return est
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch table: (row j, bucket, cnt) with d=4 LCG rows ×
+    w=256 buckets — 1024 integer counters total, built by one explode +
+    hash aggregation."""
+    rows = []
+    for j in range(CMS_D):
+        b = F.pmod(_lcg(F.col(key_col), 1_000 + j), F.lit(CMS_W))
+        w = F.col(weight_col) if weight_col else F.lit(1)
+        rows.append(
+            df.select(
+                F.lit(j).cast("int").alias("j"),
+                b.alias("b"),
+                w.cast("long").alias("w"),
+            )
+        )
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("j", "b").agg(F.sum("w").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Point-query the sketch for each key: min over the d row counters
+    (the classic CMS upper-bound estimate; all-integer)."""
+    ests = []
+    for j in range(CMS_D):
+        b = F.pmod(_lcg(F.col(key_col), 1_000 + j), F.lit(CMS_W))
+        ests.append(
+            keys.select(
+                key_col, F.lit(j).cast("int").alias("j"), b.alias("b")
+            )
+        )
+    u = ests[0]
+    for e in ests[1:]:
+        u = u.unionByName(e)
+    joined = u.join(F.broadcast(sketch), on=["j", "b"], how="left").select(
+        key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("cms_estimate"))

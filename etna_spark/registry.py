@@ -379,11 +379,11 @@ _WINDOW_ORDER = [
     "streaming_sessionize",
     "tok_chunk_overlap",
     "kalman_level_1h",
+    "events_hll_cardinality",
+    "tok_cms_heavy_hitters",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
-    "clustering_single_linkage_1h",
-    "embedding_neardup_pairs",
     "gorilla_decode_points_1m",
     "hierarchy_structure_2hop",
     "tier_lineage_ledger",

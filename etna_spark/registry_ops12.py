@@ -58,3 +58,139 @@ def q_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", epoch(), F.round("level", 6).alias("level")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches (data/sketches.py)
+# ---------------------------------------------------------------------------
+
+_HLL_SQL = """
+WITH h AS (
+  SELECT event_type,
+    (((((((user_id % 1000000007) + 1000000007) % 1000000007)
+        * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648)
+      AS hv
+  FROM events
+), br AS (
+  SELECT event_type, hv % 64 AS b,
+    CASE WHEN (CAST(floor(hv / 64) AS BIGINT) % 33554432) = 0 THEN 26
+         ELSE 25 - len(bin(CAST(floor(hv / 64) AS BIGINT) % 33554432)) + 1
+    END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, b, max(rho) AS r FROM br GROUP BY 1, 2
+), spine AS (
+  SELECT et.event_type, g.b
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) g
+), filled AS (
+  SELECT s.event_type, coalesce(r.r, 0) AS r
+  FROM spine s
+  LEFT JOIN regs r ON s.event_type = r.event_type AND s.b = r.b
+), est AS (
+  -- every addend 2^-r is dyadic, so this float sum is exact in any order
+  SELECT event_type, sum(pow(2.0, -r)) AS z FROM filled GROUP BY 1
+)
+SELECT e.event_type, round(0.709092 * 64 * 64 / z, 6) AS hll_estimate,
+       d.exact_distinct
+FROM est e JOIN (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+    AS exact_distinct
+  FROM events GROUP BY 1
+) d USING (event_type)
+"""
+
+
+@register("events_hll_cardinality", _HLL_SQL)
+def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type
+    (data/sketches.py::hll_cardinality — m=64 registers on the
+    replayable LCG hash, raw Flajolet estimator). The ENTIRE sketch is
+    under the value gate: register contents, the exact-by-construction
+    dyadic 2^-rho sum, and the estimator float chain; the exact distinct
+    count rides alongside for the accuracy story."""
+    from etna_spark.data.sketches import hll_cardinality
+    from etna_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_cardinality(ev, key_col="user_id", group_cols=("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, on="event_type")
+
+
+_CMS_SQL = """WITH tok AS ({tok}),
+t AS (
+  SELECT unnest(tokens) AS token FROM tok
+), counts AS (
+  SELECT token, count(*) AS cnt FROM t GROUP BY token
+), topk AS (
+  SELECT token, cnt FROM (
+    SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+    FROM counts
+  ) WHERE rk <= 20
+), cms AS (
+  SELECT u.j,
+    ((((((((t.token + 1000 + u.j) % 1000000007) + 1000000007)
+         % 1000000007) * 1103515245 + 12345) % 2147483648)
+      + 2147483648) % 2147483648) % 256 AS b,
+    count(*) AS cnt
+  FROM t CROSS JOIN UNNEST(range(0, 4)) AS u(j)
+  GROUP BY 1, 2
+), est AS (
+  SELECT k.token, k.cnt AS true_cnt,
+    min(coalesce(c.cnt, 0)) AS cms_estimate
+  FROM topk k CROSS JOIN UNNEST(range(0, 4)) AS u(j)
+  LEFT JOIN cms c ON c.j = u.j
+    AND c.b = ((((((((k.token + 1000 + u.j) % 1000000007) + 1000000007)
+                   % 1000000007) * 1103515245 + 12345) % 2147483648)
+                + 2147483648) % 2147483648) % 256
+  GROUP BY 1, 2
+)
+SELECT CAST(token AS INTEGER) AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate
+FROM est
+"""
+
+
+@register("tok_cms_heavy_hitters", None)
+def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter audit over the token stream
+    (data/sketches.py::cms_build/cms_estimate — d=4 x w=256 integer
+    counters on the replayable LCG rows): the top-20 true tokens'
+    CMS point estimates vs their true counts. All-integer, so the
+    sketch's overcount guarantee (estimate >= truth) is value-checked
+    exactly."""
+    from etna_spark.data.sketches import cms_build, cms_estimate
+    from etna_spark.synth import doc_token_table
+
+    tt = doc_token_table(spark, sf_dir)
+    toks = tt.select(F.explode("tokens").alias("token"))
+    sketch = cms_build(toks, "token")
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    topk = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("token", F.col("cnt").alias("true_cnt"))
+    )
+    est = cms_estimate(sketch, topk.select("token"), "token")
+    return topk.join(est, on="token").select(
+        F.col("token").cast("int").alias("token"),
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+    )
+
+
+# register the CMS oracle now that DOC_TOKEN_SQL is importable lazily
+def _register_cms_sql() -> None:
+    from etna_spark.registry import REGISTRY
+    from etna_spark.synth import DOC_TOKEN_SQL
+
+    REGISTRY["tok_cms_heavy_hitters"].sql = _CMS_SQL.format(tok=DOC_TOKEN_SQL)
+
+
+_register_cms_sql()

@@ -153,3 +153,34 @@ def test_kalman_level_matches_scalar_reference(spark):
         assert out[t] == a  # bit-identical scalar chain
     # steady-state gain sanity: level tracks between y and previous level
     assert abs(out[79] - y[79]) < abs(y[79] - y[78]) + 50
+
+
+def test_hll_estimate_accuracy_and_determinism(spark):
+    from etna_spark.data.sketches import hll_cardinality
+
+    rows = [("g", k) for k in range(2000)] + [("h", k) for k in range(50)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    a = {r["grp"]: r["hll_estimate"]
+         for r in hll_cardinality(df, "k", ("grp",)).collect()}
+    b = {r["grp"]: r["hll_estimate"]
+         for r in hll_cardinality(df, "k", ("grp",)).collect()}
+    assert a == b  # fully deterministic
+    # m=64 raw estimator: ~13% typical error at n >> m
+    assert abs(a["g"] - 2000) / 2000 < 0.35
+
+
+def test_cms_never_undercounts(spark):
+    from etna_spark.data.sketches import cms_build, cms_estimate
+    from pyspark.sql import functions as F
+
+    rows = [(t,) for t in [1] * 50 + [2] * 30 + list(range(100, 400))]
+    df = spark.createDataFrame(rows, "token long")
+    sketch = cms_build(df, "token")
+    keys = df.distinct()
+    est = {r["token"]: r["cms_estimate"]
+           for r in cms_estimate(sketch, keys, "token").collect()}
+    true = {r["token"]: r["cnt"]
+            for r in df.groupBy("token").agg(F.count("*").alias("cnt"))
+            .collect()}
+    assert all(est[t] >= c for t, c in true.items())
+    assert est[1] >= 50 and est[2] >= 30
