@@ -140,3 +140,47 @@ def cms_estimate(
         key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy(key_col).agg(F.min("cnt").alias("cms_estimate"))
+
+
+BLOOM_BITS = 1024
+BLOOM_K = 3
+
+
+def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Bloom filter bit set over the keys: k=3 LCG probes into a
+    1024-bit space, materialized as the DISTINCT set of set bit
+    positions (<= 1024 rows — broadcastable filter state, the classic
+    join-pruning / decontamination gate at corpus scale). All-integer
+    and deterministic, so membership answers — false positives
+    included — replay exactly in SQL."""
+    probes = [
+        df.select(
+            F.pmod(_lcg(F.col(key_col), 7_000 + i), F.lit(BLOOM_BITS))
+            .alias("bit")
+        )
+        for i in range(BLOOM_K)
+    ]
+    u = probes[0]
+    for p in probes[1:]:
+        u = u.unionByName(p)
+    return u.distinct()
+
+
+def bloom_contains(
+    bloom: DataFrame, keys: DataFrame, key_col: str
+) -> DataFrame:
+    """Probe the filter for each key: member iff ALL k probe bits are
+    set. Returns (*keys columns, in_bloom boolean)."""
+    marked = keys
+    for i in range(BLOOM_K):
+        bit = F.pmod(_lcg(F.col(key_col), 7_000 + i), F.lit(BLOOM_BITS))
+        hit = bloom.withColumnRenamed("bit", f"_b{i}")
+        marked = marked.join(
+            F.broadcast(hit), bit == F.col(f"_b{i}"), how="left"
+        ).withColumn(f"_hit{i}", F.col(f"_b{i}").isNotNull()).drop(f"_b{i}")
+    cond = F.col("_hit0")
+    for i in range(1, BLOOM_K):
+        cond = cond & F.col(f"_hit{i}")
+    return marked.withColumn("in_bloom", cond).drop(
+        *[f"_hit{i}" for i in range(BLOOM_K)]
+    )

@@ -381,10 +381,10 @@ _WINDOW_ORDER = [
     "kalman_level_1h",
     "events_hll_cardinality",
     "tok_cms_heavy_hitters",
+    "events_bloom_membership",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
-    "gorilla_decode_points_1m",
     "hierarchy_structure_2hop",
     "tier_lineage_ledger",
     "train_test_split_1h",

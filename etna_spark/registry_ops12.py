@@ -194,3 +194,58 @@ def _register_cms_sql() -> None:
 
 
 _register_cms_sql()
+
+
+_BLOOM_SQL = """
+WITH pu AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), au AS (
+  SELECT DISTINCT user_id FROM events
+), bits AS (
+  SELECT DISTINCT
+    ((((((((p.user_id + 7000 + u.i) % 1000000007) + 1000000007)
+         % 1000000007) * 1103515245 + 12345) % 2147483648)
+      + 2147483648) % 2147483648) % 1024 AS bit
+  FROM pu p CROSS JOIN UNNEST(range(0, 3)) AS u(i)
+), probes AS (
+  SELECT a.user_id, u.i,
+    ((((((((a.user_id + 7000 + u.i) % 1000000007) + 1000000007)
+         % 1000000007) * 1103515245 + 12345) % 2147483648)
+      + 2147483648) % 2147483648) % 1024 AS bit
+  FROM au a CROSS JOIN UNNEST(range(0, 3)) AS u(i)
+), hits AS (
+  SELECT p.user_id, count(*) FILTER (b.bit IS NOT NULL) AS nhit
+  FROM probes p LEFT JOIN bits b USING (bit) GROUP BY 1
+)
+SELECT h.user_id, (nhit = 3) AS in_bloom,
+       (pu.user_id IS NOT NULL) AS is_member
+FROM hits h LEFT JOIN pu ON h.user_id = pu.user_id
+"""
+
+
+@register("events_bloom_membership", _BLOOM_SQL)
+def q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate (data/sketches.py::bloom_build /
+    bloom_contains — k=3 probes into 1024 bits on the replayable LCG):
+    the filter is built over purchasing users and probed for EVERY user;
+    the oracle replays each probe's modular arithmetic, so the exact
+    membership verdicts — deterministic false positives included — are
+    value-checked, alongside the ground-truth membership flag (the
+    filter's no-false-negative guarantee is thus hash-pinned)."""
+    from etna_spark.data.sketches import bloom_build, bloom_contains
+    from etna_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct()
+    bloom = bloom_build(purchasers, "user_id")
+    allu = ev.select("user_id").distinct()
+    probed = bloom_contains(bloom, allu, "user_id")
+    return probed.join(
+        purchasers.withColumn("is_member", F.lit(True)),
+        on="user_id", how="left",
+    ).select(
+        "user_id", "in_bloom",
+        F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+    )

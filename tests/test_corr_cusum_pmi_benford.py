@@ -184,3 +184,17 @@ def test_cms_never_undercounts(spark):
             .collect()}
     assert all(est[t] >= c for t, c in true.items())
     assert est[1] >= 50 and est[2] >= 30
+
+
+def test_bloom_no_false_negatives(spark):
+    from etna_spark.data.sketches import bloom_build, bloom_contains
+
+    members = spark.createDataFrame([(k,) for k in range(0, 50)], "k long")
+    others = spark.createDataFrame([(k,) for k in range(50, 500)], "k long")
+    bloom = bloom_build(members, "k")
+    got_m = bloom_contains(bloom, members, "k").collect()
+    assert all(r["in_bloom"] for r in got_m)  # never a false negative
+    got_o = bloom_contains(bloom, others, "k").collect()
+    fp = sum(1 for r in got_o if r["in_bloom"])
+    # 150 bits set of 1024 -> fp rate ~ (150/1024)^3 ~ 0.3%; allow slack
+    assert fp < 30
