@@ -151,3 +151,28 @@ def temperature_stratified_sample(
         joined.filter(hash_bucket(F.col(key_col), salt) < F.col("_thr"))
         .withColumnRenamed("_thr", "sample_thr")
     )
+
+
+def quota_per_stratum(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    quota: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: rank keys inside
+    each stratum by the full-resolution LCG hash (ties by key — a total
+    order) and keep the first ``quota``. The per-stratum cap a mixing
+    pipeline needs when a source must contribute AT MOST n documents
+    regardless of its size — stable across reruns, partitionings, and
+    clusters, unlike rate-based sampling which scales with the stratum.
+    Adds ``sample_rank``; one window over the stratum key."""
+    from pyspark.sql import Window as W
+
+    k = F.pmod(F.col(key_col).cast("long") + F.lit(salt), F.lit(_P))
+    hv = F.pmod(k * F.lit(_A) + F.lit(_C), F.lit(_M))
+    w = W.partitionBy(strata_col).orderBy(hv, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+    )

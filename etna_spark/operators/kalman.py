@@ -69,3 +69,57 @@ def kalman_level(
     return df.groupBy(*keys).applyInPandas(
         kern, f"{key_schema}, {ts_col} {ts_type}, {out_col} double"
     )
+
+
+def kalman_smooth(
+    df: DataFrame,
+    q_var: float,
+    r_var: float,
+    in_col: str = "target",
+    series_cols: Sequence[str] = ("segment",),
+    ts_col: str = "timestamp",
+    out_col: str = "level_smooth",
+) -> DataFrame:
+    """Rauch–Tung–Striebel smoother for the local-level model: forward
+    Kalman pass (same chain as ``kalman_level``), then the backward
+    recursion
+
+        s_n = a_n
+        s_t = a_t + (p_t / (p_t + Q)) * (s_{t+1} - a_t)
+
+    (the one-step prediction from t is a_t itself in the local-level
+    model). Both passes are fixed-order scalar float chains, so the SQL
+    twin replays forward AND backward recursions bit-for-bit."""
+    keys = list(series_cols)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        y = pdf[in_col].to_numpy(np.float64)
+        n = len(y)
+        a_arr = np.empty(n)
+        p_arr = np.empty(n)
+        a = y[0]
+        p = r_var
+        a_arr[0], p_arr[0] = a, p
+        for t in range(1, n):
+            p_pred = p + q_var
+            k = p_pred / (p_pred + r_var)
+            a = a + k * (y[t] - a)
+            p = (1.0 - k) * p_pred
+            a_arr[t], p_arr[t] = a, p
+        s = np.empty(n)
+        s[n - 1] = a_arr[n - 1]
+        for t in range(n - 2, -1, -1):
+            g = p_arr[t] / (p_arr[t] + q_var)
+            s[t] = a_arr[t] + g * (s[t + 1] - a_arr[t])
+        res = pdf[[*keys, ts_col]].copy()
+        res[out_col] = s
+        return res
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keys
+    )
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    return df.groupBy(*keys).applyInPandas(
+        kern, f"{key_schema}, {ts_col} {ts_type}, {out_col} double"
+    )

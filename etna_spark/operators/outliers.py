@@ -430,3 +430,49 @@ class PointOutliersTransform:
         return marked.withColumn(
             self.in_col, F.coalesce(F.col(self.in_col), F.col("_orig_value"))
         ).drop("_orig_value")
+
+
+def winsorize_exact(
+    df: "DataFrame",
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    series_cols=("segment",),
+):
+    """Winsorization (quantile clipping) at EXACT integer-domain
+    percentiles: the per-segment bounds come from the histogram method
+    (groupBy value -> cumulative count over the value-sorted aggregate)
+    with the pinned lower-quantile rule min{v : cum >= ceil(q*n/100)} —
+    the same engine-agnostic rule as tok_length_quantiles_exact, so the
+    clip bounds and clipped values replay exactly in any SQL engine.
+    The histogram aggregate is value-domain-sized; the clip itself is a
+    broadcast join + least/greatest projection."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    keys = list(series_cols)
+    hist = df.groupBy(*keys, value_col).agg(F.count("*").alias("c"))
+    wcum = W.partitionBy(*keys).orderBy(value_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wseg = W.partitionBy(*keys)
+    cum = hist.select(
+        *keys, F.col(value_col).alias("v"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wseg).alias("n"),
+    )
+    def bound(pct):
+        thr = F.ceil(F.col("n") * pct / 100)
+        return (
+            cum.filter(F.col("cum") >= thr)
+            .groupBy(*keys)
+            .agg(F.min("v").alias(f"q{pct}"))
+        )
+    bounds = bound(lo_pct).join(bound(hi_pct), on=keys)
+    return df.join(F.broadcast(bounds), on=keys).withColumn(
+        f"{value_col}_wins",
+        F.least(
+            F.greatest(F.col(value_col), F.col(f"q{lo_pct}")),
+            F.col(f"q{hi_pct}"),
+        ),
+    )

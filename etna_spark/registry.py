@@ -382,12 +382,12 @@ _WINDOW_ORDER = [
     "events_hll_cardinality",
     "tok_cms_heavy_hitters",
     "events_bloom_membership",
+    "kalman_smooth_1h",
+    "events_winsorize_1h",
+    "tok_quota_per_source",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     "changepoints_trend_1h",
-    "hierarchy_structure_2hop",
-    "tier_lineage_ledger",
-    "train_test_split_1h",
     # twice-recorded family representatives (north-rule tiers/streaming,
     # pipelines/ensembles rotate: voting/direct/eda_correlation sat out r5
     # for the three new token ops; stacking represents the ensemble solve)
@@ -440,3 +440,4 @@ def _load_extra_registries() -> None:
     import etna_spark.registry_ops10  # noqa: F401
     import etna_spark.registry_ops11  # noqa: F401
     import etna_spark.registry_ops12  # noqa: F401
+    import etna_spark.registry_ops13  # noqa: F401

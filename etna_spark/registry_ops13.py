@@ -1,0 +1,165 @@
+"""Thirteenth operator registry batch: RTS smoothing, exact-quantile
+winsorization, per-stratum quota sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etna_spark.registry import epoch, register
+from etna_spark.registry_ops2 import _H_SERIES
+from etna_spark.registry_ops12 import _KQ, _KR
+from etna_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# Kalman RTS smoother (operators/kalman.py::kalman_smooth)
+# ---------------------------------------------------------------------------
+
+_SMOOTH_SQL = (
+    _H_SERIES.replace("WITH series", "WITH RECURSIVE series", 1)
+    + f"""
+, idx AS (
+  SELECT event_type, bucket_ts,
+    row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS t,
+    count(*) OVER (PARTITION BY event_type) AS n,
+    CAST(value_cents AS DOUBLE) AS y
+  FROM series
+), fwd AS (
+  SELECT event_type, t, y AS a, {_KR} AS p
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+    r.a + ((r.p + {_KQ}) / ((r.p + {_KQ}) + {_KR})) * (i.y - r.a),
+    (1.0 - ((r.p + {_KQ}) / ((r.p + {_KQ}) + {_KR}))) * (r.p + {_KQ})
+  FROM fwd r JOIN idx i
+    ON i.event_type = r.event_type AND i.t = r.t + 1
+), fwdm AS MATERIALIZED (
+  -- materialize the forward pass ONCE: a recursive CTE referenced from
+  -- inside another recursion would otherwise be re-evaluated per step
+  SELECT * FROM fwd
+), bwd AS (
+  SELECT f.event_type, f.t, f.a AS s
+  FROM fwdm f JOIN (SELECT event_type, max(t) AS n FROM fwdm GROUP BY 1) m
+    ON f.event_type = m.event_type AND f.t = m.n
+  UNION ALL
+  SELECT f.event_type, f.t,
+    f.a + (f.p / (f.p + {_KQ})) * (b.s - f.a)
+  FROM bwd b JOIN fwdm f
+    ON f.event_type = b.event_type AND f.t = b.t - 1
+)
+SELECT i.event_type, CAST(epoch(i.bucket_ts) AS BIGINT) AS bucket_ts,
+       round(b.s, 6) AS level_smooth
+FROM bwd b JOIN idx i USING (event_type, t)
+"""
+)
+
+
+@register("kalman_smooth_1h", _SMOOTH_SQL)
+def q_kalman_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rauch–Tung–Striebel smoothed level per segment
+    (operators/kalman.py::kalman_smooth): forward Kalman pass + backward
+    smoothing recursion, BOTH replayed step-by-step by recursive CTEs
+    (fwd carries (a, p); bwd seeds at t=n and walks t downward). Every
+    smoothed value is hash-checked — the two-pass state-space computation
+    in its entirety sits under the value gate."""
+    from etna_spark.operators.kalman import kalman_smooth
+    from etna_spark.registry_ops2 import _events_1h
+
+    s = _events_1h(spark, sf_dir).select(
+        "event_type", "bucket_ts",
+        F.col("value_cents").cast("double").alias("y"),
+    )
+    out = kalman_smooth(
+        s, q_var=2500.0, r_var=40000.0, in_col="y",
+        series_cols=("event_type",), ts_col="bucket_ts",
+    )
+    return out.select(
+        "event_type", epoch(), F.round("level_smooth", 6).alias("level_smooth")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-quantile winsorization (operators/outliers.py::winsorize_exact)
+# ---------------------------------------------------------------------------
+
+_WINSOR_SQL = _H_SERIES + """
+, hist AS (
+  SELECT event_type, value_cents AS v, count(*) AS c
+  FROM series GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v,
+    sum(c) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+), lo AS (
+  SELECT event_type, min(v) AS q5 FROM cum
+  WHERE cum >= CAST(ceil(n * 5 / 100) AS BIGINT) GROUP BY 1
+), hi AS (
+  SELECT event_type, min(v) AS q95 FROM cum
+  WHERE cum >= CAST(ceil(n * 95 / 100) AS BIGINT) GROUP BY 1
+)
+SELECT s.event_type, CAST(epoch(s.bucket_ts) AS BIGINT) AS bucket_ts,
+  s.value_cents,
+  least(greatest(s.value_cents, lo.q5), hi.q95) AS value_wins
+FROM series s JOIN lo USING (event_type) JOIN hi USING (event_type)
+"""
+
+
+@register("events_winsorize_1h", _WINSOR_SQL)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at exact per-segment P5/P95
+    (operators/outliers.py::winsorize_exact): clip bounds come from the
+    integer-domain histogram method with the pinned lower-quantile rule
+    min{{v : cum >= ceil(q*n/100)}} — no percentile_disc semantics
+    gamble, bounds AND clipped values engine-exact."""
+    from etna_spark.operators.outliers import winsorize_exact
+    from etna_spark.registry_ops2 import _events_1h
+
+    s = _events_1h(spark, sf_dir)
+    out = winsorize_exact(
+        s, "value_cents", lo_pct=5, hi_pct=95, series_cols=("event_type",)
+    )
+    return out.select(
+        "event_type", epoch(), "value_cents",
+        F.col("value_cents_wins").alias("value_wins"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quota sampling (data/sampling.py::quota_per_stratum)
+# ---------------------------------------------------------------------------
+
+_QUOTA_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+    ((((((doc_id % 1000000007) + 1000000007) % 1000000007)
+       * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648
+      AS hv
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, source, CAST(rk AS INTEGER) AS sample_rank
+FROM ranked WHERE rk <= 50
+"""
+
+
+@register("tok_quota_per_source", _QUOTA_SQL)
+def q_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota sampling: at most 50 documents per source, chosen by
+    LCG-hash rank (data/sampling.py::quota_per_stratum) — the
+    deterministic per-source CAP of a mixing pipeline, stable under any
+    partitioning; membership AND rank order are value-checked."""
+    from etna_spark.data.sampling import quota_per_stratum
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quota_per_stratum(
+        docs, key_col="doc_id", strata_col="source", quota=50
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+    )

@@ -198,3 +198,66 @@ def test_bloom_no_false_negatives(spark):
     fp = sum(1 for r in got_o if r["in_bloom"])
     # 150 bits set of 1024 -> fp rate ~ (150/1024)^3 ~ 0.3%; allow slack
     assert fp < 30
+
+
+def test_kalman_smooth_matches_scalar_rts(spark):
+    import numpy as np
+
+    from etna_spark.operators.kalman import kalman_smooth
+
+    rng = np.random.default_rng(9)
+    y = (500 + rng.normal(0, 30, 60).cumsum()).round(0)
+    rows = [("s", int(t), float(v)) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "segment string, ts long, y double")
+    out = {r["ts"]: r["level_smooth"]
+           for r in kalman_smooth(df, q_var=25.0, r_var=400.0, in_col="y",
+                                  series_cols=("segment",),
+                                  ts_col="ts").collect()}
+    n = len(y)
+    a_arr, p_arr = np.empty(n), np.empty(n)
+    a, p = y[0], 400.0
+    a_arr[0], p_arr[0] = a, p
+    for t in range(1, n):
+        p_pred = p + 25.0
+        k = p_pred / (p_pred + 400.0)
+        a = a + k * (y[t] - a)
+        p = (1.0 - k) * p_pred
+        a_arr[t], p_arr[t] = a, p
+    s = np.empty(n)
+    s[n - 1] = a_arr[n - 1]
+    for t in range(n - 2, -1, -1):
+        g = p_arr[t] / (p_arr[t] + 25.0)
+        s[t] = a_arr[t] + g * (s[t + 1] - a_arr[t])
+    for t in range(n):
+        assert out[t] == s[t]  # bit-identical two-pass chain
+
+
+def test_winsorize_exact_bounds(spark):
+    from etna_spark.operators.outliers import winsorize_exact
+
+    vals = list(range(1, 101))  # 1..100
+    rows = [("s", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "segment string, t long, v long")
+    out = winsorize_exact(df, "v", lo_pct=5, hi_pct=95,
+                          series_cols=("segment",)).collect()
+    wins = {r["v"]: r["v_wins"] for r in out}
+    # q5 = min{v: cum >= 5} = 5; q95 = min{v: cum >= 95} = 95
+    assert wins[1] == 5 and wins[4] == 5 and wins[5] == 5
+    assert wins[50] == 50
+    assert wins[95] == 95 and wins[100] == 95
+
+
+def test_quota_per_stratum_cap_and_determinism(spark):
+    from etna_spark.data.sampling import quota_per_stratum
+
+    rows = [(k, "a") for k in range(200)] + [(k, "b") for k in range(1000, 1010)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = quota_per_stratum(df, "doc_id", "source", quota=20)
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"a": 20, "b": 10}  # capped vs under-quota stratum
+    first = sorted(r["doc_id"] for r in out.filter("source='a'").collect())
+    second = sorted(r["doc_id"] for r in
+                    quota_per_stratum(df, "doc_id", "source", quota=20)
+                    .filter("source='a'").collect())
+    assert first == second  # deterministic membership
