@@ -44,6 +44,57 @@ def _lcg(key: Column, salt: int) -> Column:
     return F.pmod(k * F.lit(_A) + F.lit(_C), F.lit(_M))
 
 
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Sparse HLL register table (*group_cols, b, r) — the sketch's
+    MERGEABLE state: union two register tables and take max(r) per
+    (group, b) to get the sketch of the union of the inputs (how a
+    cluster combines per-partition sketches)."""
+    g = list(group_cols)
+    h = _lcg(F.col(key_col), 0)
+    bucket = F.pmod(h, F.lit(HLL_M))
+    v = F.floor(h / HLL_M).cast("long") % F.lit(1 << HLL_VALUE_BITS)
+    # rho = leading zeros of the value's HLL_VALUE_BITS window + 1;
+    # bin() renders without leading zeros in both engines
+    rho = F.when(v == 0, F.lit(HLL_VALUE_BITS + 1)).otherwise(
+        F.lit(HLL_VALUE_BITS) - F.length(F.bin(v)) + 1
+    )
+    return (
+        df.select(*g, bucket.alias("b"), rho.alias("rho"))
+        .groupBy(*g, "b")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    groups: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Raw Flajolet estimate from a sparse register table; ``groups``
+    supplies the group spine (missing registers count as rho 0)."""
+    g = list(group_cols)
+    reg_ids = regs.sparkSession.range(HLL_M).select(F.col("id").alias("b"))
+    spine = groups.crossJoin(reg_ids) if g else reg_ids
+    full = spine.join(regs, on=[*g, "b"], how="left").withColumn(
+        "r", F.coalesce(F.col("r"), F.lit(0))
+    )
+    # sum of 2^-r: dyadic addends -> exact double sum in any order
+    return (
+        full.groupBy(*g)
+        .agg(F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"))
+        .select(
+            *g,
+            F.round(
+                F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("z"), 6
+            ).alias("hll_estimate"),
+        )
+    )
+
+
 def hll_cardinality(
     df: DataFrame,
     key_col: str,
@@ -58,39 +109,9 @@ def hll_cardinality(
     m=64 registers per group — a 64-row aggregate regardless of input
     size."""
     g = list(group_cols)
-    h = _lcg(F.col(key_col), 0)
-    bucket = F.pmod(h, F.lit(HLL_M))
-    v = F.floor(h / HLL_M).cast("long") % F.lit(1 << HLL_VALUE_BITS)
-    # rho = leading zeros of the value's HLL_VALUE_BITS window + 1;
-    # bin() renders without leading zeros in both engines
-    rho = F.when(v == 0, F.lit(HLL_VALUE_BITS + 1)).otherwise(
-        F.lit(HLL_VALUE_BITS) - F.length(F.bin(v)) + 1
-    )
-    regs = (
-        df.select(*g, bucket.alias("b"), rho.alias("rho"))
-        .groupBy(*g, "b")
-        .agg(F.max("rho").alias("r"))
-    )
-    # spine of all m registers per group (missing register -> rho 0)
-    reg_ids = df.sparkSession.range(HLL_M).select(F.col("id").alias("b"))
-    spine = (
-        df.select(*g).distinct().crossJoin(reg_ids) if g else reg_ids
-    )
-    regs = spine.join(regs, on=[*g, "b"], how="left").withColumn(
-        "r", F.coalesce(F.col("r"), F.lit(0))
-    )
-    # sum of 2^-r: dyadic addends -> exact double sum in any order
-    est = (
-        regs.groupBy(*g)
-        .agg(F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"))
-        .select(
-            *g,
-            F.round(
-                F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("z"), 6
-            ).alias("hll_estimate"),
-        )
-    )
-    return est
+    regs = hll_registers(df, key_col, group_cols)
+    groups = df.select(*g).distinct() if g else regs.limit(0)
+    return hll_estimate_from_registers(regs, groups, group_cols)
 
 
 def cms_build(

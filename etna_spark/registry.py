@@ -385,9 +385,9 @@ _WINDOW_ORDER = [
     "kalman_smooth_1h",
     "events_winsorize_1h",
     "tok_quota_per_source",
+    "events_hll_merge",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
-    "changepoints_trend_1h",
     # twice-recorded family representatives (north-rule tiers/streaming,
     # pipelines/ensembles rotate: voting/direct/eda_correlation sat out r5
     # for the three new token ops; stacking represents the ensemble solve)

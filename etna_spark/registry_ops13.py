@@ -163,3 +163,86 @@ def q_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.col("sample_rank").cast("int").alias("sample_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL mergeability (data/sketches.py::hll_registers + merge-by-max)
+# ---------------------------------------------------------------------------
+
+_HLL_MERGE_SQL = """
+WITH h AS (
+  SELECT event_type, event_id % 2 AS half,
+    (((((((user_id % 1000000007) + 1000000007) % 1000000007)
+        * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648)
+      AS hv
+  FROM events
+), br AS (
+  SELECT event_type, half, hv % 64 AS b,
+    CASE WHEN (CAST(floor(hv / 64) AS BIGINT) % 33554432) = 0 THEN 26
+         ELSE 25 - len(bin(CAST(floor(hv / 64) AS BIGINT) % 33554432)) + 1
+    END AS rho
+  FROM h
+), half_regs AS (
+  SELECT event_type, half, b, max(rho) AS r FROM br GROUP BY 1, 2, 3
+), merged AS (
+  SELECT event_type, b, max(r) AS r FROM half_regs GROUP BY 1, 2
+), full_regs AS (
+  SELECT event_type, b, max(rho) AS r FROM br GROUP BY 1, 2
+), spine AS (
+  SELECT et.event_type, g.b
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) g
+), est_m AS (
+  SELECT s.event_type,
+    round(0.709092 * 64 * 64 / sum(pow(2.0, -coalesce(m.r, 0))), 6)
+      AS est_merged
+  FROM spine s LEFT JOIN merged m
+    ON s.event_type = m.event_type AND s.b = m.b
+  GROUP BY 1
+), est_f AS (
+  SELECT s.event_type,
+    round(0.709092 * 64 * 64 / sum(pow(2.0, -coalesce(f.r, 0))), 6)
+      AS est_full
+  FROM spine s LEFT JOIN full_regs f
+    ON s.event_type = f.event_type AND s.b = f.b
+  GROUP BY 1
+)
+SELECT event_type, est_merged, est_full FROM est_m JOIN est_f
+USING (event_type)
+"""
+
+
+@register("events_hll_merge", _HLL_MERGE_SQL)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY under the value gate
+    (data/sketches.py::hll_registers): the event stream is split into
+    two halves, each half's register table is built independently, and
+    the halves merge by per-register max — exactly how a cluster
+    combines per-partition sketches. The merged estimate is emitted
+    NEXT TO the direct full-build estimate; the oracle replays both
+    paths, so a broken merge rule (sum instead of max, lost registers)
+    flips the hash."""
+    from etna_spark.data.sketches import (
+        hll_cardinality,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    h0 = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    h1 = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    r0 = hll_registers(h0, "user_id", ("event_type",))
+    r1 = hll_registers(h1, "user_id", ("event_type",))
+    merged = (
+        r0.unionByName(r1)
+        .groupBy("event_type", "b")
+        .agg(F.max("r").alias("r"))
+    )
+    groups = ev.select("event_type").distinct()
+    est_m = hll_estimate_from_registers(
+        merged, groups, ("event_type",)
+    ).withColumnRenamed("hll_estimate", "est_merged")
+    est_f = hll_cardinality(
+        ev, "user_id", ("event_type",)
+    ).withColumnRenamed("hll_estimate", "est_full")
+    return est_m.join(est_f, on="event_type")

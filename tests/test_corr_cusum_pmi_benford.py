@@ -261,3 +261,27 @@ def test_quota_per_stratum_cap_and_determinism(spark):
                     quota_per_stratum(df, "doc_id", "source", quota=20)
                     .filter("source='a'").collect())
     assert first == second  # deterministic membership
+
+
+def test_hll_merge_equals_full_build(spark):
+    from pyspark.sql import functions as F
+
+    from etna_spark.data.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    rows = [("g", k) for k in range(500)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    h0 = df.filter(F.col("k") % 2 == 0)
+    h1 = df.filter(F.col("k") % 2 == 1)
+    merged = (
+        hll_registers(h0, "k", ("grp",))
+        .unionByName(hll_registers(h1, "k", ("grp",)))
+        .groupBy("grp", "b").agg(F.max("r").alias("r"))
+    )
+    full = hll_registers(df, "k", ("grp",))
+    groups = df.select("grp").distinct()
+    em = hll_estimate_from_registers(merged, groups, ("grp",)).collect()
+    ef = hll_estimate_from_registers(full, groups, ("grp",)).collect()
+    assert em[0]["hll_estimate"] == ef[0]["hll_estimate"]
