@@ -386,6 +386,7 @@ _WINDOW_ORDER = [
     "events_winsorize_1h",
     "tok_quota_per_source",
     "events_hll_merge",
+    "streaming_late_drop",
     # once-recorded (changepoints_trend_1h is newly oracle-backed in r5 —
     # its single prior record was rows-only)
     # twice-recorded family representatives (north-rule tiers/streaming,
@@ -402,7 +403,6 @@ _WINDOW_ORDER = [
     # r5-new from-scratch model-zoo forecasts take the
     # exog_shift_auto_1h / event_proximity_1h slots (both twice-recorded;
     # they stay registered + recorded in FULLSURFACE)
-    "holt_winters_forecast_1h",
     "linear_ar_forecast_1h",
 ]
 

@@ -246,3 +246,95 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", ("event_type",)
     ).withColumnRenamed("hll_estimate", "est_full")
     return est_m.join(est_f, on="event_type")
+
+
+# ---------------------------------------------------------------------------
+# Streaming watermark late-data discipline
+# ---------------------------------------------------------------------------
+
+_LATE_DROP_SQL = """
+SELECT event_type,
+  CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_ts,
+  count(*) AS point_count,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_sum
+FROM events
+WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+   OR ts >= TIMESTAMP '2024-01-06 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_late_drop", _LATE_DROP_SQL)
+def q_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data discipline, value-checked end-to-end.
+
+    Three mtime-ordered files with ``maxFilesPerTrigger=1``: batch 0 =
+    everything except day 5 and the final two hours; batch 1 = an
+    on-time filler (22:00-23:00 of the last day); batch 2 = the day-5
+    rows — now ~25 days LATE — plus the >= 23:00 tail and a flush
+    sentinel. The filler batch matters: since Spark 3.4 the watermark
+    used to FILTER late input (``watermarkForLateEvents``) lags one
+    batch behind the eviction watermark, so late rows arriving in the
+    very next batch after the watermark-establishing data are NOT yet
+    dropped (measured here: numRowsDroppedByWatermark=0 in a two-file
+    recipe, >0 in this three-file one). The engine must drop exactly the
+    day-5 rows and keep everything else; the oracle aggregates the
+    events table minus day 5. A green hash pins the drop rule itself —
+    a leak of late rows into closed windows or an over-drop of on-time
+    rows flips it."""
+    import datetime as _dt
+    import os
+
+    from etna_spark.registry_ops6 import _scratch
+    from etna_spark.streaming.rollup_stream import (
+        run_available_now,
+        stream_rollup,
+    )
+
+    base = _scratch(sf_dir, "latedrop")
+    in_path = os.path.join(base, "input")
+    out_path = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_path, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    day5_lo = "2024-01-05 00:00:00"
+    day5_hi = "2024-01-06 00:00:00"
+    tail_cut = "2024-01-30 22:00:00"
+    tail_mid = "2024-01-30 23:00:00"
+    day5 = (F.col("ts") >= day5_lo) & (F.col("ts") < day5_hi)
+    batch0 = ev.filter(~day5 & (F.col("ts") < tail_cut))
+    batch1 = ev.filter((F.col("ts") >= tail_cut) & (F.col("ts") < tail_mid))
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [("_flush", mx + _dt.timedelta(hours=9), 0)],
+        "event_type string, ts timestamp, vc long",
+    )
+    batch2 = (
+        ev.filter(day5 | (F.col("ts") >= tail_mid)).unionByName(sentinel)
+    )
+    for i, b in enumerate((batch0, batch1, batch2)):
+        tmp = os.path.join(base, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dest = os.path.join(in_path, f"part-{i:03d}.parquet")
+        os.replace(os.path.join(tmp, part), dest)
+        os.utime(dest, (1_700_000_000 + i * 100,) * 2)
+
+    schema = spark.read.parquet(in_path).schema
+    sdf = stream_rollup(
+        spark, in_path, schema, tier="1m", series_cols=("event_type",),
+        ts_col="ts", value_col="vc", watermark="1 hour",
+        max_files_per_trigger=1,
+    )
+    run_available_now(sdf, ckpt, out_path)
+    out = spark.read.parquet(out_path).filter(F.col("event_type") != "_flush")
+    return out.select(
+        "event_type",
+        F.col("bucket_ts").cast("long").alias("bucket_ts"),
+        "point_count",
+        F.col("value_sum").cast("long").alias("value_sum"),
+    )

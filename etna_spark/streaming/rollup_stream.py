@@ -31,6 +31,7 @@ def stream_rollup(
     ts_col: str = "event_ts",
     value_col: str = "n_tok",
     watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming tier aggregation with late-data handling.
 
@@ -39,7 +40,12 @@ def stream_rollup(
     affected partitions — both are deterministic because the aggregates are
     algebraic)."""
     seconds, _ = TIERS[tier]
-    src = spark.readStream.schema(schema).parquet(input_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # one file per micro-batch, files ordered by mtime — the
+        # deterministic multi-batch recipe for watermark/late-data tests
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_path)
     v = F.col(value_col)
     return (
         src.withWatermark(ts_col, watermark)
