@@ -1103,10 +1103,15 @@ class ThetaModel:
 
     supports_components = False
 
-    def __init__(self, alpha: float = 0.5):
+    def __init__(self, alpha: float = 0.5, sba: bool = False):
         if not 0.0 <= alpha <= 1.0:
             raise ValueError("alpha must be in [0, 1]")
         self.alpha = alpha
+        # Syntetos-Boylan approximation: Croston's z/p is biased high;
+        # SBA multiplies by (1 - alpha/2) (Syntetos & Boylan 2005). With
+        # alpha = 1/2 the factor is the dyadic 3/4, so the corrected
+        # forecast stays cross-engine exact.
+        self.sba = bool(sba)
         self.seasonality = 1  # protocol attr (context stride)
 
     @property
@@ -1171,10 +1176,15 @@ class CrostonModel:
 
     supports_components = False
 
-    def __init__(self, alpha: float = 0.5):
+    def __init__(self, alpha: float = 0.5, sba: bool = False):
         if not 0.0 <= alpha <= 1.0:
             raise ValueError("alpha must be in [0, 1]")
         self.alpha = alpha
+        # Syntetos-Boylan approximation: Croston's z/p is biased high;
+        # SBA multiplies by (1 - alpha/2) (Syntetos & Boylan 2005). With
+        # alpha = 1/2 the factor is the dyadic 3/4, so the corrected
+        # forecast stays cross-engine exact.
+        self.sba = bool(sba)
         self.seasonality = 1  # protocol attr (context stride)
 
     @property
@@ -1208,4 +1218,7 @@ class CrostonModel:
                 q += 1
         if not started:
             raise ValueError("CrostonModel needs at least one demand point")
-        return np.full(n_future, z / p)
+        f = z / p
+        if self.sba:
+            f = f * (1.0 - a / 2.0)
+        return np.full(n_future, f)

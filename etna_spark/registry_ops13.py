@@ -338,3 +338,32 @@ def q_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "point_count",
         F.col("value_sum").cast("long").alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston SBA (plans/pipeline.py::CrostonModel(sba=True))
+# ---------------------------------------------------------------------------
+
+
+def _sba_sql() -> str:
+    from etna_spark.registry_ops8 import _croston_sql
+
+    base = _croston_sql(12, 0.5)
+    return base.replace(
+        "round(ls.z / ls.p, 6) + 0.0 AS pred",
+        "round(ls.z / ls.p * 0.75, 6) + 0.0 AS pred",
+    )
+
+
+@register("croston_sba_forecast_1h", _sba_sql())
+def q_croston_sba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan-corrected Croston forecast
+    (plans/pipeline.py::CrostonModel(sba=True)): the classic z/p
+    estimator is biased high, and SBA multiplies by (1 - alpha/2) —
+    with alpha = 1/2 the dyadic 3/4, so the corrected forecast is one
+    exact multiply on top of the replayed conditional recursion (the
+    oracle is the Croston CTE with the same factor applied in the same
+    op position)."""
+    from etna_spark.registry_ops8 import croston_query_frame
+
+    return croston_query_frame(spark, sf_dir, sba=True)

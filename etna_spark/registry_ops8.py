@@ -610,6 +610,13 @@ CROSS JOIN (SELECT unnest(range(1, {horizon + 1})) AS h) hs
 """
 
 
+def croston_query_frame(
+    spark: SparkSession, sf_dir: str, sba: bool = False
+) -> DataFrame:
+    """Shared builder for the Croston / Croston-SBA forecast queries."""
+    return _q_croston_impl(spark, sf_dir, sba)
+
+
 @register("croston_forecast_1h", _croston_sql(12, 0.5))
 def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Croston intermittent-demand forecast (plans/pipeline.py::
@@ -619,6 +626,12 @@ def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the conditional two-state recursion (demand-size SES +
     inter-demand-interval SES, updates gated on demand periods) as a
     CASE-gated recursive CTE, then the flat z/p forecast."""
+    return _q_croston_impl(spark, sf_dir, sba=False)
+
+
+def _q_croston_impl(
+    spark: SparkSession, sf_dir: str, sba: bool
+) -> DataFrame:
     from etna_spark.plans.pipeline import CrostonModel, Pipeline
 
     ev = load_table(spark, sf_dir, "events")
@@ -654,7 +667,8 @@ def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "bucket_ts", "v")
     )
     p = Pipeline(
-        model=CrostonModel(alpha=0.5), horizon=12, step_seconds=3600,
+        model=CrostonModel(alpha=0.5, sba=sba), horizon=12,
+        step_seconds=3600,
         in_col="v", series_cols=("event_type",), ts_col="bucket_ts",
     ).fit(dense)
     out = p.forecast()

@@ -285,3 +285,14 @@ def test_hll_merge_equals_full_build(spark):
     em = hll_estimate_from_registers(merged, groups, ("grp",)).collect()
     ef = hll_estimate_from_registers(full, groups, ("grp",)).collect()
     assert em[0]["hll_estimate"] == ef[0]["hll_estimate"]
+
+
+def test_croston_sba_is_scaled_croston(spark):
+    import numpy as np
+
+    from etna_spark.plans.pipeline import CrostonModel
+
+    y = np.array([0, 0, 4, 0, 0, 0, 6, 0, 2, 0], dtype=float)
+    base = CrostonModel(alpha=0.5).kernel(y, 3)
+    sba = CrostonModel(alpha=0.5, sba=True).kernel(y, 3)
+    assert np.all(sba == base * 0.75)  # dyadic factor, bit-exact
