@@ -95,6 +95,10 @@ def kmeans_quantized(
     init = (
         q.orderBy(id_col).limit(k).collect()
     )  # k rows — codebook-sized driver collect
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans_quantized needs at least k={k} vectors, got {len(init)}"
+        )
     centroids = [list(r["q"]) for r in init]
     dim = len(centroids[0])
     out = q

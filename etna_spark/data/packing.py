@@ -176,7 +176,8 @@ def chunk_with_overlap(
 
     Chunk ``i`` covers token positions ``[i*stride, i*stride +
     chunk_size)`` clipped to the document; every start below ``n_tok``
-    emits a chunk, so short documents yield exactly one. Pure JVM HOFs
+    emits a chunk, so short non-empty documents yield exactly one and
+    empty documents yield none. Pure JVM HOFs
     (sequence + posexplode + slice), no shuffle at all — the op is
     embarrassingly parallel over documents.
 
@@ -188,6 +189,9 @@ def chunk_with_overlap(
     toks = F.col(tokens_col)
     n = F.size(toks)
     max_i = F.floor((n - F.lit(1)) / F.lit(stride)).cast("int")
+    # empty token arrays emit ZERO chunks (F.sequence(0, -1) would
+    # otherwise produce the descending [0, -1] and two phantom chunks)
+    df = df.filter(n >= 1)
     exploded = df.select(
         F.col(id_col),
         toks.alias("_t"),

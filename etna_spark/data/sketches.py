@@ -25,10 +25,9 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_P = 1_000_000_007
-_A = 1_103_515_245
-_C = 12_345
-_M = 2_147_483_648  # 2^31
+# single source of truth for the hash family — the oracles embed these
+# literals, so a retune must change sampling.py and every sketch SQL
+from etna_spark.data.sampling import _A, _C, _M, _P
 
 HLL_M = 64          # registers (p = 6 bucket bits)
 HLL_VALUE_BITS = 25  # bits of the LCG value used for the rho geometric
@@ -122,20 +121,19 @@ def cms_build(
     """Count-Min sketch table: (row j, bucket, cnt) with d=4 LCG rows ×
     w=256 buckets — 1024 integer counters total, built by one explode +
     hash aggregation."""
-    rows = []
-    for j in range(CMS_D):
-        b = F.pmod(_lcg(F.col(key_col), 1_000 + j), F.lit(CMS_W))
-        w = F.col(weight_col) if weight_col else F.lit(1)
-        rows.append(
-            df.select(
-                F.lit(j).cast("int").alias("j"),
-                b.alias("b"),
-                w.cast("long").alias("w"),
-            )
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    # ONE pass over the input: explode a literal array of the d per-row
+    # (j, bucket) probes instead of unioning d scans
+    probes = F.array(*[
+        F.struct(
+            F.lit(j).cast("int").alias("j"),
+            F.pmod(_lcg(F.col(key_col), 1_000 + j), F.lit(CMS_W)).alias("b"),
         )
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionByName(r)
+        for j in range(CMS_D)
+    ])
+    u = df.select(F.explode(probes).alias("p"), w.alias("w")).select(
+        F.col("p.j").alias("j"), F.col("p.b").alias("b"), "w"
+    )
     return u.groupBy("j", "b").agg(F.sum("w").alias("cnt"))
 
 
@@ -146,17 +144,16 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch for each key: min over the d row counters
     (the classic CMS upper-bound estimate; all-integer)."""
-    ests = []
-    for j in range(CMS_D):
-        b = F.pmod(_lcg(F.col(key_col), 1_000 + j), F.lit(CMS_W))
-        ests.append(
-            keys.select(
-                key_col, F.lit(j).cast("int").alias("j"), b.alias("b")
-            )
+    probes = F.array(*[
+        F.struct(
+            F.lit(j).cast("int").alias("j"),
+            F.pmod(_lcg(F.col(key_col), 1_000 + j), F.lit(CMS_W)).alias("b"),
         )
-    u = ests[0]
-    for e in ests[1:]:
-        u = u.unionByName(e)
+        for j in range(CMS_D)
+    ])
+    u = keys.select(key_col, F.explode(probes).alias("p")).select(
+        key_col, F.col("p.j").alias("j"), F.col("p.b").alias("b")
+    )
     joined = u.join(F.broadcast(sketch), on=["j", "b"], how="left").select(
         key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
@@ -174,17 +171,13 @@ def bloom_build(df: DataFrame, key_col: str) -> DataFrame:
     join-pruning / decontamination gate at corpus scale). All-integer
     and deterministic, so membership answers — false positives
     included — replay exactly in SQL."""
-    probes = [
-        df.select(
-            F.pmod(_lcg(F.col(key_col), 7_000 + i), F.lit(BLOOM_BITS))
-            .alias("bit")
-        )
+    probes = F.array(*[
+        F.pmod(_lcg(F.col(key_col), 7_000 + i), F.lit(BLOOM_BITS))
         for i in range(BLOOM_K)
-    ]
-    u = probes[0]
-    for p in probes[1:]:
-        u = u.unionByName(p)
-    return u.distinct()
+    ])
+    return (
+        df.select(F.explode(probes).alias("bit")).distinct()
+    )
 
 
 def bloom_contains(

@@ -369,7 +369,10 @@ def bigram_pmi(
     table.
     """
     toks = F.col(tokens_col)
-    bigrams = tok_df.select(
+    # rows with < 2 tokens have no bigrams; the filter also keeps the
+    # ANSI slice(length = size-1) from seeing a negative length on
+    # empty arrays (which raises, not skips)
+    bigrams = tok_df.filter(F.size(toks) >= 2).select(
         F.explode(
             F.zip_with(
                 F.slice(toks, 1, F.size(toks) - 1),

@@ -50,9 +50,17 @@ def _deviations(
     sy = F.sum(F.col(value_col)).over(wseg)
     n = F.count("*").over(wseg)
     r = F.pmod(sy, n)
-    # floor-div via pmod: (sy - r) is divisible by n and well under 2^53,
-    # so the double division is exact and the cast loses nothing
-    ybar_floor = ((sy - r) / n).cast("long")
+    # floor-div via pmod: (sy - r) is divisible by n; the double division
+    # is exact only below 2^53, so the bound is enforced LOUDLY (same
+    # guard as ThetaModel's integer normal equations)
+    guarded_sy = F.when(
+        F.assert_true(
+            F.abs(sy) < F.lit(float(2 ** 53)),
+            F.lit("acf: |segment sum| >= 2^53 — rescale the value column"),
+        ).isNull(),
+        sy,
+    )
+    ybar_floor = ((guarded_sy - r) / n).cast("long")
     return df.select(
         *series_cols,
         F.row_number().over(w).alias("t"),
@@ -128,8 +136,12 @@ def pacf_lag2(
     value_col: str = "target",
 ) -> DataFrame:
     """Partial autocorrelation at lag 2 via Durbin–Levinson:
-    ``phi22 = (r2 - r1^2) / (1 - r1^2)`` with r1, r2 the exact-ratio
-    sample ACFs (UNROUNDED — rounding happens once, at the output)."""
+    ``phi22 = (r2 - r1^2) / (1 - r1^2)`` with r1, r2 the ROUND-6 sample
+    ACFs (both engines consume the identical rounded ratios, which is
+    what keeps the gate exact). Near |r1| -> 1 the formula is
+    ill-conditioned — the 5e-7 rounding error is amplified by
+    1/(1 - r1^2) — so treat pacf2 as unreliable for near-unit-root
+    segments (the ADF query is the right tool there)."""
     a = acf(df, [1, 2], series_cols, ts_col, value_col)
     # recompute unrounded ratios: pivot the two lags side by side
     wide = (

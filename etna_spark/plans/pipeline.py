@@ -1103,15 +1103,10 @@ class ThetaModel:
 
     supports_components = False
 
-    def __init__(self, alpha: float = 0.5, sba: bool = False):
+    def __init__(self, alpha: float = 0.5):
         if not 0.0 <= alpha <= 1.0:
             raise ValueError("alpha must be in [0, 1]")
         self.alpha = alpha
-        # Syntetos-Boylan approximation: Croston's z/p is biased high;
-        # SBA multiplies by (1 - alpha/2) (Syntetos & Boylan 2005). With
-        # alpha = 1/2 the factor is the dyadic 3/4, so the corrected
-        # forecast stays cross-engine exact.
-        self.sba = bool(sba)
         self.seasonality = 1  # protocol attr (context stride)
 
     @property

@@ -257,7 +257,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(in_path).schema
     sdf = stream_sessionize(
         spark, in_path, schema, user_col="user_id", ts_col="ts",
-        gap="4 hours", value_col="vc", watermark="0 seconds",
+        gap_s=14_400, value_col="vc", watermark="0 seconds",
     )
     run_available_now(sdf, ckpt, out_path)
     out = spark.read.parquet(out_path).filter(F.col("user_id") >= 0)

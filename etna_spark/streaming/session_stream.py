@@ -28,8 +28,7 @@ def stream_sessionize(
     schema,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    gap: str = "4 hours",
-    gap_us: int = 14_400_000_000,
+    gap_s: int = 14_400,
     value_col: str | None = None,
     watermark: str = "0 seconds",
 ) -> DataFrame:
@@ -39,18 +38,25 @@ def stream_sessionize(
     start/end as floored epoch seconds of the first/last event —
     ``session_window.end`` is last-event + gap by definition, so the
     last-event time is recovered exactly in integer microseconds."""
+    # one source of truth for the gap: the interval string and the
+    # microsecond recovery offset are both derived from gap_s
+    gap_us = int(gap_s) * 1_000_000
     src = spark.readStream.schema(schema).parquet(input_path)
     aggs = [F.count("*").alias("n_events")]
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("value_sum"))
-    w = F.session_window(F.col(ts_col), gap)
+    w = F.session_window(F.col(ts_col), f"{int(gap_s)} seconds")
     out = (
         src.withWatermark(ts_col, watermark)
         .groupBy(F.col(user_col), w.alias("w"))
         .agg(*aggs)
     )
-    start_s = (F.unix_micros(F.col("w.start")) / 1_000_000).cast("long")
-    end_s = (
+    # floor (not truncate-toward-zero): matches the batch operator and
+    # the epoch_us // 1000000 oracle for pre-1970 timestamps too
+    start_s = F.floor(
+        F.unix_micros(F.col("w.start")) / 1_000_000
+    ).cast("long")
+    end_s = F.floor(
         (F.unix_micros(F.col("w.end")) - F.lit(gap_us)) / 1_000_000
     ).cast("long")
     cols = [

@@ -92,7 +92,7 @@ def test_stream_sessionize_matches_batch_rule(spark, tmp_path):
     )
     df.coalesce(1).write.parquet(in_path)
     sdf = stream_sessionize(
-        spark, in_path, df.schema, gap="4 hours", value_col="vc",
+        spark, in_path, df.schema, gap_s=14_400, value_col="vc",
         watermark="0 seconds",
     )
     run_available_now(sdf, ckpt, out_path)
