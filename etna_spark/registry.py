@@ -441,3 +441,4 @@ def _load_extra_registries() -> None:
     import etna_spark.registry_ops11  # noqa: F401
     import etna_spark.registry_ops12  # noqa: F401
     import etna_spark.registry_ops13  # noqa: F401
+    import etna_spark.registry_ops14  # noqa: F401
