@@ -120,3 +120,41 @@ def _register_overlap_sql() -> None:
 
 
 _register_overlap_sql()
+
+
+# ---------------------------------------------------------------------------
+# Two-phase skew-robust sessionization — SAME oracle as events_sessionize
+# ---------------------------------------------------------------------------
+
+
+def _register_2phase() -> None:
+    from etna_spark.registry_ops9 import _SESSION_SQL
+
+    @register("events_sessionize_2phase", _SESSION_SQL)
+    def q_sessionize_2phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Skew-robust two-phase sessionization
+        (operators/sessionize.py::session_stats_two_phase): phase 1
+        sessionizes within (user, day-chunk) partitions so a hot key
+        never funnels into one window partition; phase 2 re-applies the
+        identical gap rule to the per-chunk session summaries and merges
+        boundary sessions algebraically. Registered against the SAME
+        oracle SQL as events_sessionize — a green hash PROVES the
+        two-phase plan is semantically identical to the naive one, the
+        same associativity pin the salted rollup carries."""
+        from etna_spark.operators.sessionize import session_stats_two_phase
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "vc", F.round(F.col("value") * 100, 0).cast("long")
+        )
+        out = session_stats_two_phase(
+            ev, key_cols=("user_id",), ts_col="ts", gap_s=14400,
+            value_col="vc", chunk_s=86400, order_tiebreak=("event_id",),
+        )
+        return out.select(
+            "user_id", "session_idx", "session_start", "session_end",
+            "n_events", F.col("value_sum").alias("value_cents"),
+            "duration_s",
+        )
+
+
+_register_2phase()

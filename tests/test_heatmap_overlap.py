@@ -41,3 +41,39 @@ def test_vocab_overlap_jaccard_exact(spark):
     got = {(r["sa"], r["sb"]): r["ni"] for r in inter.collect()}
     # a∩b = {3} -> 1; a∩c = {} (absent); b∩c absent
     assert got == {("a", "b"): 1}
+
+
+def test_two_phase_sessionize_merges_across_chunks(spark):
+    from etna_spark.operators.sessionize import (
+        session_stats,
+        session_stats_two_phase,
+    )
+
+    rows = [
+        # session spanning midnight (chunk boundary at 00:00): 23:30 and
+        # 00:30 are 1h apart -> one session under gap 4h
+        (1, "2024-01-01 23:30:00", 10),
+        (1, "2024-01-02 00:30:00", 20),
+        # separate session later that day
+        (1, "2024-01-02 12:00:00", 30),
+        # hot user: 200 events over 3 days, every 20 minutes
+        *[(2, f"2024-01-0{1 + (t * 1200) // 86400} "
+              f"{((t * 1200) % 86400) // 3600:02d}:"
+              f"{((t * 1200) % 3600) // 60:02d}:00", 1)
+          for t in range(200)],
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, vc long") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    one = session_stats(df, key_cols=("user_id",), ts_col="ts",
+                        gap_s=14400, value_col="vc")
+    two = session_stats_two_phase(df, key_cols=("user_id",), ts_col="ts",
+                                  gap_s=14400, value_col="vc",
+                                  chunk_s=86400)
+    k = ["user_id", "session_idx", "session_start", "session_end",
+         "n_events", "value_sum", "duration_s"]
+    a = sorted(tuple(r[c] for c in k) for r in one.select(k).collect())
+    b = sorted(tuple(r[c] for c in k) for r in two.select(k).collect())
+    assert a == b
+    # sanity: user 1's midnight-spanning session really merged
+    u1 = [r for r in a if r[0] == 1]
+    assert u1[0][4] == 2 and u1[0][5] == 30  # 2 events, 30 cents
