@@ -231,7 +231,10 @@ def token_frequency_score(
     counts = pos.groupBy("_tok").agg(F.count("*").alias("_c"))
     total = counts.agg(F.sum("_c").cast("long").alias("_total"))
     per_doc = (
-        pos.join(F.broadcast(counts), on="_tok")
+        # no forced broadcast: the count table is VOCAB-sized (unbounded
+        # on real corpora — r5 ADVICE); it is aggregation output, so AQE
+        # sees its runtime size and broadcasts exactly when it is small
+        pos.join(counts, on="_tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tok"),

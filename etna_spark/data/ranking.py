@@ -46,6 +46,12 @@ def bm25_rational_topk(
     above. Words are maximal [a-z]+ runs of the lowercased text with
     length >= 2 (the corpus-wide tokenization rule shared with
     data/bpe.py). Returns (doc_id, score, rank)."""
+    # dedupe (order-preserving) and validate the term list: duplicate
+    # terms would produce duplicate pivot columns and an
+    # ambiguous-column error downstream (r5 ADVICE)
+    query_terms = list(dict.fromkeys(query_terms))
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     words = (
         docs.select(
             F.col(id_col).alias("d"),
@@ -71,7 +77,41 @@ def bm25_rational_topk(
         .crossJoin(F.broadcast(totals))
         .select(
             "d", "w",
-            (
+            # loud overflow guard (repo-standard assert_true-in-column
+            # trick, r5 ADVICE): the exact-rational products are raw
+            # int64 chains; verify their double-precision estimates stay
+            # below 2^62 so the bigint arithmetic provably cannot hit
+            # ANSI overflow. The guard rides inside the score column so
+            # column pruning cannot elide it; the scored values are
+            # UNCHANGED (the int chain still computes them).
+            F.when(
+                F.assert_true(
+                    (
+                        F.lit(22.0)
+                        * F.col("corpus_len").cast("double")
+                        * F.col("tf").cast("double")
+                        * F.col("n_docs").cast("double")
+                        < F.lit(float(2**62))
+                    )
+                    & (
+                        (
+                            F.lit(10.0)
+                            * F.col("corpus_len").cast("double")
+                            * F.col("tf").cast("double")
+                            + F.lit(3.0) * F.col("corpus_len").cast("double")
+                            + F.lit(9.0)
+                            * F.col("dl").cast("double")
+                            * F.col("n_docs").cast("double")
+                        )
+                        * F.col("df").cast("double")
+                        < F.lit(float(2**62))
+                    ),
+                    F.lit(
+                        "bm25_rational_topk: exact-rational product "
+                        "exceeds 2^62 — corpus too large for the int64 "
+                        "chain; shard the corpus or rescale"
+                    ),
+                ).isNull(),
                 (
                     F.lit(22) * F.col("corpus_len") * F.col("tf")
                     * F.col("n_docs")
@@ -83,7 +123,7 @@ def bm25_rational_topk(
                         + F.lit(9) * F.col("dl") * F.col("n_docs")
                     )
                     * F.col("df")
-                ).cast("double")
+                ).cast("double"),
             ).alias("s"),
         )
     )

@@ -325,6 +325,7 @@ def bucket_pairs(
     bucket_cols: Sequence[str],
     id_col: str = "_id",
     max_bucket: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct unordered id pairs that share a bucket — ONE hash
     aggregation instead of the bucket-size agg + capped join + self-join
@@ -339,6 +340,13 @@ def bucket_pairs(
     (bucket-size agg, cap join, self-join) and needed a 6-exchange plan;
     this is 2 exchanges (group + distinct). Output: (id_a < id_b),
     deduplicated across buckets.
+
+    ``distinct=False`` skips the cross-bucket dedup — for callers whose
+    downstream per-pair scoring is deterministic, deduplicating AFTER the
+    (usually far more selective) score filter moves the distinct from
+    candidate volume to survivor volume and deletes the candidate-sized
+    exchange (guide §2.3: shuffle fewer bytes). Duplicate pairs then cost
+    only redundant map-side rescores (bounded by the table/band count).
     """
     members = keyed.groupBy(*bucket_cols).agg(
         F.collect_list(F.col(id_col)).alias("_ms")
@@ -360,11 +368,10 @@ def bucket_pairs(
             ),
         )
     )
-    return (
-        members.select(F.explode(pairs).alias("_p"))
-        .select("_p.id_a", "_p.id_b")
-        .distinct()
+    out = members.select(F.explode(pairs).alias("_p")).select(
+        "_p.id_a", "_p.id_b"
     )
+    return out.distinct() if distinct else out
 
 
 def embedding_neardup_pairs(
@@ -411,6 +418,14 @@ def embedding_neardup_pairs(
         if signatures is not None
         else embedding_signatures(df, id_col, vec_col, n_planes, dim, n_tables)
     )
+    # distinct=True is deliberate even though the rescore would collapse
+    # duplicates after the filter: the candidate distinct's exchange is
+    # what re-spreads the (byte-small, work-heavy) pair stream across the
+    # full parallelism before the expensive rescore — A/B-measured
+    # distinct-after-filter at 1M×dim32: 14.7 s vs 10.3 s, because AQE
+    # coalesces the groupBy output by SHUFFLE bytes and the fused
+    # explode+rescore then runs on too few tasks (only ~2% of candidates
+    # are cross-table duplicates, so the dedup saves nothing here).
     cand = bucket_pairs(sig, ("_table", "_sig"), id_col="_id",
                         max_bucket=max_bucket)
     # per-vector norm computed ONCE per vector (same float chain as the

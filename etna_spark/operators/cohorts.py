@@ -39,10 +39,12 @@ def cohort_retention(
     return (
         joined.groupBy(
             F.col("cohort_day").cast("long").alias("cohort_day"),
-            (
-                (F.col("d").cast("long") - F.col("cohort_day").cast("long"))
-                / 86400
-            )
+            # datediff on the truncated days, not epoch-second division:
+            # with a non-UTC session timezone DST makes truncated days
+            # 23/25h apart and the old double division truncated to a
+            # wrong offset (r5 ADVICE). Identical values under the UTC
+            # harness; correct everywhere.
+            F.datediff(F.col("d"), F.col("cohort_day"))
             .cast("long")
             .alias("offset_days"),
         )

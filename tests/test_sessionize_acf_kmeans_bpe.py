@@ -157,3 +157,32 @@ def test_bpe_weighted_counts_and_tiebreak(spark):
     out = learn_bpe_merges(spark, docs, n_merges=1).collect()
     assert (out[0]["left_sym"], out[0]["right_sym"]) == ("a", "b")
     assert out[0]["pair_count"] == 3
+
+
+def test_bpe_driver_loop_matches_spark_loop(spark):
+    """r6: the heap-based driver-side merge loop (1 Spark job) must learn
+    exactly the merges of the per-round Spark aggregation loop (2 jobs per
+    round) — winner selection, tie-breaks, greedy application and counts."""
+    from pyspark.sql import functions as F
+
+    from etna_spark.data.bpe import learn_bpe_merges
+
+    docs = spark.range(0, 300).select(
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("pre"), F.pmod(F.xxhash64("id"), F.lit(7)).cast("string")),
+            F.concat(F.lit("ban"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5)).cast("string"), F.lit("ana")),
+            F.lit("the the aaaa abab"),
+        ).alias("text")
+    )
+    # hash-derived digits are stripped by the [a-z]+ tokenization, leaving
+    # a small weighted word-type table with real ties and repeats
+    drv = learn_bpe_merges(spark, docs, n_merges=6).collect()
+    dist = learn_bpe_merges(spark, docs, n_merges=6,
+                            max_driver_types=0).collect()
+    as_t = lambda rows: [  # noqa: E731
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in rows
+    ]
+    assert as_t(drv) == as_t(dist)
+    assert len(drv) == 6
