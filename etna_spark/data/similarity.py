@@ -326,6 +326,8 @@ def bucket_pairs(
     id_col: str = "_id",
     max_bucket: int | None = None,
     distinct: bool = True,
+    payload_col: str | None = None,
+    pair_filter=None,
 ) -> DataFrame:
     """Distinct unordered id pairs that share a bucket — ONE hash
     aggregation instead of the bucket-size agg + capped join + self-join
@@ -347,30 +349,49 @@ def bucket_pairs(
     candidate volume to survivor volume and deletes the candidate-sized
     exchange (guide §2.3: shuffle fewer bytes). Duplicate pairs then cost
     only redundant map-side rescores (bounded by the table/band count).
+
+    ``payload_col`` carries one extra column into the member list (as a
+    struct field alongside the id) and ``pair_filter(pa, pb) -> Column``
+    prunes pairs MAP-SIDE during expansion from the two payloads — the
+    hook for provably-safe pre-filters (e.g. the per-coordinate
+    unit-vector bound in :func:`embedding_neardup_pairs`) that shrink the
+    candidate set before it ever reaches an exchange. Ids stay the
+    ordering key (they are unique within a bucket, and the id is the
+    struct's first field, so least/greatest still normalizes by id).
     """
+    if payload_col is not None:
+        entry = F.struct(
+            F.col(id_col).alias("i"), F.col(payload_col).alias("p")
+        )
+    else:
+        entry = F.col(id_col)
     members = keyed.groupBy(*bucket_cols).agg(
-        F.collect_list(F.col(id_col)).alias("_ms")
+        F.collect_list(entry).alias("_ms")
     )
     cond = F.size("_ms") >= 2
     if max_bucket is not None:
         cond = cond & (F.size("_ms") <= max_bucket)
     members = members.where(cond)
     n = F.size(F.col("_ms"))
-    pairs = F.flatten(
-        F.transform(
-            F.col("_ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ms"), i + F.lit(2), n - i - F.lit(1)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"),
-                    F.greatest(x, y).alias("id_b"),
-                ),
-            ),
+
+    def expand(x, i):
+        rest = F.slice(F.col("_ms"), i + F.lit(2), n - i - F.lit(1))
+        mk = lambda y: F.struct(  # noqa: E731
+            F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
         )
-    )
-    out = members.select(F.explode(pairs).alias("_p")).select(
-        "_p.id_a", "_p.id_b"
-    )
+        inner = F.transform(rest, mk)
+        if pair_filter is not None:
+            inner = F.filter(
+                inner, lambda pr: pair_filter(pr["a"]["p"], pr["b"]["p"])
+            )
+        return inner
+
+    pairs = F.flatten(F.transform(F.col("_ms"), expand))
+    if payload_col is not None:
+        sel = [F.col("_p.a.i").alias("id_a"), F.col("_p.b.i").alias("id_b")]
+    else:
+        sel = [F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b")]
+    out = members.select(F.explode(pairs).alias("_p")).select(*sel)
     return out.distinct() if distinct else out
 
 
@@ -413,11 +434,53 @@ def embedding_neardup_pairs(
 
     ``signatures`` accepts a precomputed (ideally cached)
     :func:`embedding_signatures` frame with matching parameters."""
+    import math
+
     sig = (
         signatures
         if signatures is not None
         else embedding_signatures(df, id_col, vec_col, n_planes, dim, n_tables)
     )
+    if broadcast_rescore is None:
+        bcast_max = int(os.environ.get("SPARK_GRAFT_NEARDUP_BCAST_MAX",
+                                       "2000000"))
+        broadcast_rescore = df.count() <= bcast_max
+    # Provably-safe projection pre-filter (r6): for unit-normalized
+    # vectors â = a/|a|, cos(a,b) ≥ θ  ⇒  |â − b̂| = √(2−2cos) ≤ √(2−2θ),
+    # and every coordinate satisfies |â_i − b̂_i| ≤ |â − b̂|. Carrying the
+    # first m normalized coordinates into the bucket rows lets pair
+    # expansion discard, MAP-SIDE and before any exchange, every pair
+    # that provably cannot reach the threshold — a necessary condition,
+    # never a heuristic, so the output set is unchanged (recall 1.0 by
+    # construction; float error is ~1e-14 against a 1e-6 safety margin).
+    # Measured at 1M×dim32/θ=0.99: candidates 16.6M → 1.37M (12×), the
+    # distinct and rescore shrinking with them. Zero-norm vectors yield
+    # NaN projections and fail the bound, exactly as they fail the final
+    # NaN cosine filter. Applied when the projection frame is
+    # broadcastable (same gate as the rescore); otherwise the plan falls
+    # back to the unfiltered expansion.
+    m = min(4, dim)
+    bound = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-6
+    payload_col = None
+    pair_filter = None
+    keyed = sig
+    if broadcast_rescore and m > 0 and bound < 2.0:
+        v = F.col(vec_col)
+        pf = df.select(
+            F.col(id_col).alias("_pid"),
+            F.array(
+                *[(F.get(v, i).cast("double") / norm(v)) for i in range(m)]
+            ).alias("_pf"),
+        )
+        keyed = sig.join(F.broadcast(pf), on=F.col("_id") == F.col("_pid"))
+        payload_col = "_pf"
+
+        def pair_filter(pa, pb):  # noqa: ANN001
+            c = F.lit(True)
+            for i in range(m):
+                c = c & (F.abs(F.get(pa, i) - F.get(pb, i)) <= F.lit(bound))
+            return c
+
     # distinct=True is deliberate even though the rescore would collapse
     # duplicates after the filter: the candidate distinct's exchange is
     # what re-spreads the (byte-small, work-heavy) pair stream across the
@@ -426,8 +489,9 @@ def embedding_neardup_pairs(
     # coalesces the groupBy output by SHUFFLE bytes and the fused
     # explode+rescore then runs on too few tasks (only ~2% of candidates
     # are cross-table duplicates, so the dedup saves nothing here).
-    cand = bucket_pairs(sig, ("_table", "_sig"), id_col="_id",
-                        max_bucket=max_bucket)
+    cand = bucket_pairs(keyed, ("_table", "_sig"), id_col="_id",
+                        max_bucket=max_bucket, payload_col=payload_col,
+                        pair_filter=pair_filter)
     # per-vector norm computed ONCE per vector (same float chain as the
     # pair-wise cosine, so oracle values are unchanged)
     vecs = df.select(
@@ -435,10 +499,6 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("_vv"),
         norm(F.col(vec_col)).alias("_vn"),
     )
-    if broadcast_rescore is None:
-        bcast_max = int(os.environ.get("SPARK_GRAFT_NEARDUP_BCAST_MAX",
-                                       "2000000"))
-        broadcast_rescore = df.count() <= bcast_max
     if broadcast_rescore:
         vecs = F.broadcast(vecs)
     return (
