@@ -353,7 +353,9 @@ def bucket_pairs(
 
     ``payload_col`` carries one extra column into the member list (as a
     struct field alongside the id) and ``pair_filter(pa, pb) -> Column``
-    prunes pairs MAP-SIDE during expansion from the two payloads — the
+    — which MUST be symmetric in its arguments (it is applied in member-
+    list order, before id normalization) — prunes pairs MAP-SIDE during
+    expansion from the two payloads — the
     hook for provably-safe pre-filters (e.g. the per-coordinate
     unit-vector bound in :func:`embedding_neardup_pairs`) that shrink the
     candidate set before it ever reaches an exchange. Ids stay the
@@ -387,15 +389,18 @@ def bucket_pairs(
 
     def expand(x, i):
         rest = F.slice(F.col("_ms"), i + F.lit(2), n - i - F.lit(1))
+        if pair_filter is not None:
+            # filter BEFORE building the normalized pair struct: the
+            # filter must hold for the pair regardless of orientation
+            # (pair_filter is documented symmetric), and skipping the
+            # struct + least/greatest for failing pairs avoids ~12× the
+            # survivor count in per-pair allocations at bench params
+            # (16.6M raw pairs → 1.37M surviving the projection bound)
+            rest = F.filter(rest, lambda y: pair_filter(x["p"], y["p"]))
         mk = lambda y: F.struct(  # noqa: E731
             F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
         )
-        inner = F.transform(rest, mk)
-        if pair_filter is not None:
-            inner = F.filter(
-                inner, lambda pr: pair_filter(pr["a"]["p"], pr["b"]["p"])
-            )
-        return inner
+        return F.transform(rest, mk)
 
     pairs = F.flatten(F.transform(F.col("_ms"), expand))
     if payload_col is not None:
@@ -437,9 +442,11 @@ def embedding_neardup_pairs(
     Rescore shape: the candidate set is usually much larger than the
     survivor set (random LSH collisions), so attaching vectors to pairs
     is the expensive join. When the vector table is small enough to
-    broadcast (``broadcast_rescore=None`` auto-decides: row count ≤
-    ``SPARK_GRAFT_NEARDUP_BCAST_MAX``, default 2M — ~0.5 GB at dim 32,
-    well under the 8 GB broadcast cap), both rescore joins become
+    broadcast (``broadcast_rescore=None`` auto-decides from the
+    optimizer's size estimate: ≤ ``SPARK_GRAFT_NEARDUP_BCAST_MAX_BYTES``,
+    default 256 MB of estimated input — ~4M vectors at dim 32, well
+    under the 8 GB broadcast cap; a statistics read, not a count job,
+    so the gate costs nothing per invocation), both rescore joins become
     map-side broadcast-hash joins and the candidate pairs are never
     shuffled with payload attached (guide §8: move heavy bytes once,
     decide on slim proxies). Measured on the 1M×dim32 bench stage:
@@ -456,9 +463,21 @@ def embedding_neardup_pairs(
         else embedding_signatures(df, id_col, vec_col, n_planes, dim, n_tables)
     )
     if broadcast_rescore is None:
-        bcast_max = int(os.environ.get("SPARK_GRAFT_NEARDUP_BCAST_MAX",
-                                       "2000000"))
-        broadcast_rescore = df.count() <= bcast_max
+        # gate on the optimizer's size ESTIMATE instead of a count() job:
+        # the auto-decision previously ran one full count per invocation
+        # (3 parquet scans per bench run) just to pick a plan shape. Both
+        # shapes are value-identical (proven by exceptAll at 1M×dim32),
+        # so a conservative estimate is safe — file-sized for a parquet
+        # scan, row-count-derived for in-memory frames. Default 256 MB of
+        # estimated input ≈ 4M vectors at dim 32 float32 parquet, inside
+        # the 8 GB broadcast cap with wide margin; at 10^9 vectors the
+        # estimate is far over and the shuffled-join fallback kicks in.
+        bcast_max = int(os.environ.get("SPARK_GRAFT_NEARDUP_BCAST_MAX_BYTES",
+                                       str(256 * 1024 * 1024)))
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        broadcast_rescore = est_bytes <= bcast_max
     # Provably-safe projection pre-filter (r6): for unit-normalized
     # vectors â = a/|a|, cos(a,b) ≥ θ  ⇒  |â − b̂| = √(2−2cos) ≤ √(2−2θ),
     # and every coordinate satisfies |â_i − b̂_i| ≤ |â − b̂|. Carrying the
