@@ -140,7 +140,15 @@ def _sig_kernel(n_planes: int, dim: int, n_tables: int):
 
     @pandas_udf(ArrayType(LongType()))
     def sigs(vs: pd.Series) -> pd.Series:
-        mat = np.asarray(vs.tolist(), dtype=np.float64)
+        if len(vs) and isinstance(vs.iloc[0], np.ndarray):
+            # Arrow hands list<float> cells over as numpy arrays —
+            # np.stack + astype widens float32→float64 exactly (same
+            # values as the tolist() path, which round-trips through
+            # Python floats) without materializing len·dim Python
+            # objects per batch (r6, guide §4.2)
+            mat = np.stack(vs.values).astype(np.float64, copy=False)
+        else:
+            mat = np.asarray(vs.tolist(), dtype=np.float64)
         if mat.ndim != 2 or mat.shape[1] != dim:
             raise ValueError(
                 f"expected fixed-length dim={dim} vectors, got shape {mat.shape}"
@@ -424,7 +432,7 @@ def embedding_neardup_pairs(
     n_tables: int = 4,
     max_bucket: int = 10000,
     signatures: DataFrame | None = None,
-    broadcast_rescore: bool | None = None,
+    compact_rescore: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
     candidates (embedding-based near-dedup for training corpora).
@@ -441,17 +449,22 @@ def embedding_neardup_pairs(
 
     Rescore shape: the candidate set is usually much larger than the
     survivor set (random LSH collisions), so attaching vectors to pairs
-    is the expensive join. When the vector table is small enough to
-    broadcast (``broadcast_rescore=None`` auto-decides from the
-    optimizer's size estimate: ≤ ``SPARK_GRAFT_NEARDUP_BCAST_MAX_BYTES``,
-    default 256 MB of estimated input — ~4M vectors at dim 32, well
-    under the 8 GB broadcast cap; a statistics read, not a count job,
-    so the gate costs nothing per invocation), both rescore joins become
-    map-side broadcast-hash joins and the candidate pairs are never
-    shuffled with payload attached (guide §8: move heavy bytes once,
-    decide on slim proxies). Measured on the 1M×dim32 bench stage:
-    20.1 s → 9.6 s. At 10^9 vectors the auto-gate falls back to the
-    shuffled id-keyed joins, which remain the correct cluster shape.
+    is the expensive step. Under the compact gate
+    (``compact_rescore=None`` auto-decides from the optimizer's size
+    estimate: ≤ ``SPARK_GRAFT_NEARDUP_BCAST_MAX_BYTES``, default 256 MB
+    of estimated input — a statistics read, not a count job, so the
+    gate costs nothing per invocation) the plan applies the projection
+    pre-filter (below) and attaches vectors with SHUFFLE_HASH-hinted
+    id-keyed joins: candidates are pre-filtered ~12×, so the pair
+    exchange is tens of MB, and the per-partition hash builds run in
+    PARALLEL — A/B-measured faster AND far more stable than the earlier
+    broadcast-hash rescore (min 4.7 s vs 5.8 s at 1M×dim32, spread
+    4.7–5.7 vs 5.8–14 s: the 1M-row broadcast relation's build is
+    driver-serial and was the stage's main noise source). The build
+    side is the uniformly-id-keyed vector table, so per-partition build
+    size is total/partitions — bounded by shuffle parallelism, the
+    standard cluster-safe SHJ shape. Past the gate the joins are left
+    un-hinted for the planner to choose from runtime sizes.
 
     ``signatures`` accepts a precomputed (ideally cached)
     :func:`embedding_signatures` frame with matching parameters."""
@@ -462,22 +475,22 @@ def embedding_neardup_pairs(
         if signatures is not None
         else embedding_signatures(df, id_col, vec_col, n_planes, dim, n_tables)
     )
-    if broadcast_rescore is None:
+    if compact_rescore is None:
         # gate on the optimizer's size ESTIMATE instead of a count() job:
         # the auto-decision previously ran one full count per invocation
         # (3 parquet scans per bench run) just to pick a plan shape. Both
         # shapes are value-identical (proven by exceptAll at 1M×dim32),
         # so a conservative estimate is safe — file-sized for a parquet
         # scan, row-count-derived for in-memory frames. Default 256 MB of
-        # estimated input ≈ 4M vectors at dim 32 float32 parquet, inside
-        # the 8 GB broadcast cap with wide margin; at 10^9 vectors the
-        # estimate is far over and the shuffled-join fallback kicks in.
+        # estimated input ≈ 4M vectors at dim 32 float32 parquet; at
+        # 10^9 vectors the estimate is far over and the planner-choice
+        # fallback kicks in.
         bcast_max = int(os.environ.get("SPARK_GRAFT_NEARDUP_BCAST_MAX_BYTES",
                                        str(256 * 1024 * 1024)))
         est_bytes = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        broadcast_rescore = est_bytes <= bcast_max
+        compact_rescore = est_bytes <= bcast_max
     # Provably-safe projection pre-filter (r6): for unit-normalized
     # vectors â = a/|a|, cos(a,b) ≥ θ  ⇒  |â − b̂| = √(2−2cos) ≤ √(2−2θ),
     # and every coordinate satisfies |â_i − b̂_i| ≤ |â − b̂|. Carrying the
@@ -490,14 +503,14 @@ def embedding_neardup_pairs(
     # distinct and rescore shrinking with them. Zero-norm vectors yield
     # NaN projections and fail the bound, exactly as they fail the final
     # NaN cosine filter. Applied when the projection frame is
-    # broadcastable (same gate as the rescore); otherwise the plan falls
+    # broadcastable (the compact gate); otherwise the plan falls
     # back to the unfiltered expansion.
     m = min(4, dim)
     bound = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-6
     payload_col = None
     pair_filter = None
     keyed = sig
-    if broadcast_rescore and m > 0 and bound < 2.0:
+    if compact_rescore and m > 0 and bound < 2.0:
         v = F.col(vec_col)
         pf = df.select(
             F.col(id_col).alias("_pid"),
@@ -532,8 +545,10 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("_vv"),
         norm(F.col(vec_col)).alias("_vn"),
     )
-    if broadcast_rescore:
-        vecs = F.broadcast(vecs)
+    if compact_rescore:
+        # parallel per-partition hash builds; see docstring for the A/B
+        # against the broadcast-hash rescore
+        vecs = vecs.hint("SHUFFLE_HASH")
     return (
         cand.join(vecs, on=F.col("id_a") == F.col("_vid"))
         .select("id_a", "id_b", F.col("_vv").alias("_va"),
