@@ -289,8 +289,19 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     when the sum is positive. Vectorized as a 64-element higher-order-
     function reduction (no Python). Word hashes use the arithmetic
     ``word_hash61`` family so a DuckDB oracle reproduces the exact value
-    (xxhash64 is a drop-in at scale; plan shape identical)."""
-    w_hashes = F.transform(words(text_col), lambda w: word_hash61(w))
+    (xxhash64 is a drop-in at scale; plan shape identical).
+
+    The word-hash ARRAY is projected once (r6): interpreted HOF lambdas
+    have no common-subexpression elimination, so embedding the
+    transform inside each of the 64 bit-vote aggregates re-split and
+    re-hashed every word 64× per document (the same CSE gap as the
+    batch-1 shingle fix; measured 18.5 s → 4.6 s on the sf0.01 oracle
+    corpus). Values unchanged."""
+    base = df.select(
+        id_col, F.transform(words(text_col),
+                            lambda w: word_hash61(w)).alias("_wh"),
+    )
+    w_hashes = F.col("_wh")
 
     def bit_vote(j: int):
         # closure (not a default arg: pyspark's lambda introspection counts
@@ -305,7 +316,7 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         # bitwise assembly: `sim*2 + bit` ARITHMETIC_OVERFLOWs under ANSI
         # once bit 63 (the j=0 vote) is set
         sim = sim.bitwiseOR(F.shiftleft((s_j > 0).cast("long"), 63 - j))
-    return df.select(id_col, sim.alias("simhash"))
+    return base.select(id_col, sim.alias("simhash"))
 
 
 def simhash_pairs(

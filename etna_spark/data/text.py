@@ -54,19 +54,27 @@ def token_count_bpe_ish(text: str | Column) -> Column:
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / word-shape / stopword-ratio quality features."""
-    w = words(text_col)
+    """Length / word-shape / stopword-ratio quality features.
+
+    The words array is bound once as a projected column (r6): the four
+    feature expressions referenced ``words(text)`` independently, and
+    with no CSE across interpreted HOF subtrees the text was re-split
+    four times per row (CollapseProject keeps the binding because the
+    alias is referenced more than once and a split is not cheap).
+    Values unchanged."""
+    base = df.withColumn("_w_qf", words(text_col))
+    w = F.col("_w_qf")
     n_words = F.size(w)
     n_chars = F.length(text_col)
     stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
-    return df.withColumns(
+    return base.withColumns(
         {
             "n_words": n_words,
             "mean_word_len": (n_chars - (n_words - 1)) / n_words,
             "stopword_ratio": stop_hits / n_words,
             "uniq_word_ratio": F.size(F.array_distinct(w)) / n_words,
         }
-    )
+    ).drop("_w_qf")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -85,13 +93,14 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     marker hits). N-gram-frequency language ID reduced to its word-marker
     form — the Spark plan (HOF filter + greatest/argmax) is identical for
     richer marker tables."""
-    w = words(text_col)
+    base = df.withColumn("_w_ls", words(text_col))
+    w = F.col("_w_ls")  # bound once — same CSE rationale as quality_features
     n = F.size(w)
     cols = {}
     for lang, markers in LANG_MARKERS.items():
         hits = F.size(F.filter(w, lambda x: x.isin(*markers)))
         cols[f"score_{lang}"] = hits / n
-    out = df.withColumns(cols)
+    out = base.withColumns(cols).drop("_w_ls")
     best = None
     for lang in LANG_MARKERS:
         s = F.col(f"score_{lang}")
@@ -115,17 +124,24 @@ def word_hash61(w: Column) -> Column:
     """61-bit arithmetic word hash: two codepoint polynomial hashes packed
     as h1·2³¹ + h2 — oracle-expressible (DuckDB: string_split(w,'') +
     unicode + list_reduce with the same constants), well-mixed low bits for
-    SimHash voting, no overflow under ANSI (max < 2⁶¹)."""
+    SimHash voting, no overflow under ANSI (max < 2⁶¹).
+
+    Both polynomials fold in ONE aggregate pass over a struct
+    accumulator (r6): interpreted HOF expressions have no
+    common-subexpression elimination, so the former two-aggregate form
+    re-split the word per hash. Identical values — same constants, same
+    left-to-right fold order."""
     cps = F.transform(F.split(w, ""), lambda ch: F.ascii(ch))
-    h1 = F.aggregate(
-        cps, F.lit(0).cast("long"),
-        lambda acc, x: F.pmod(acc * 131 + x, F.lit(1000000007)),
+    hs = F.aggregate(
+        cps,
+        F.struct(F.lit(0).cast("long").alias("h1"),
+                 F.lit(0).cast("long").alias("h2")),
+        lambda acc, x: F.struct(
+            F.pmod(acc["h1"] * 131 + x, F.lit(1000000007)).alias("h1"),
+            F.pmod(acc["h2"] * 137 + x, F.lit(998244353)).alias("h2"),
+        ),
     )
-    h2 = F.aggregate(
-        cps, F.lit(0).cast("long"),
-        lambda acc, x: F.pmod(acc * 137 + x, F.lit(998244353)),
-    )
-    return h1 * F.lit(2147483648) + h2
+    return hs["h1"] * F.lit(2147483648) + hs["h2"]
 
 
 def fingerprint(text: str | Column) -> Column:
