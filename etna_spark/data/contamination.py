@@ -199,10 +199,17 @@ def remove_duplicate_spans(
             & (j.cast("long") <= s["span_end"]),
         ),
     )
+    # bind the span-filter ONCE (no interpreted-HOF CSE): n_removed
+    # derives from the bound column — the former single-select form
+    # re-ran the per-position exists() scan a second time per row
     return joined.select(
         F.col(id_col).alias("doc_id"),
+        F.size(tokens_col).cast("long").alias("_n_in"),
         kept.alias("tokens_clean"),
-        (F.size(tokens_col) - F.size(kept)).cast("long").alias("n_removed"),
+    ).select(
+        "doc_id",
+        "tokens_clean",
+        (F.col("_n_in") - F.size("tokens_clean")).alias("n_removed"),
     )
 
 

@@ -261,10 +261,15 @@ def blocklist_stats(
     n_blocked = F.size(
         F.filter(words(text_col), lambda x: F.array_contains(bl, F.lower(x)))
     )
+    # bind the filter ONCE (no interpreted-HOF CSE): `kept` derives from
+    # the bound column instead of re-scanning the words per row
     return df.select(
         F.col(id_col),
         n_blocked.cast("long").alias("n_blocked"),
-        (n_blocked == 0).alias("kept"),
+    ).select(
+        F.col(id_col),
+        "n_blocked",
+        (F.col("n_blocked") == 0).alias("kept"),
     )
 
 
@@ -335,12 +340,17 @@ def quality_gate(
                            top_n=2, dup_n=3)
     bl = blocklist_stats(df, blocklist, id_col=id_col,
                          text_col=text_col).select(id_col, "n_blocked")
-    w = words(text_col)
+    # bind the words array once (no interpreted-HOF CSE — the three
+    # F.size references would re-split the text per row otherwise)
     base = df.select(
+        id_col, F.length(text_col).alias("_chars"),
+        F.size(words(text_col)).alias("n_words"),
+    ).select(
         id_col,
-        F.size(w).alias("n_words"),
+        "n_words",
         (
-            (F.length(text_col) - (F.size(w) - F.lit(1))) / F.size(w)
+            (F.col("_chars") - (F.col("n_words") - F.lit(1)))
+            / F.col("n_words")
         ).alias("mean_word_len"),
     )
     j = base.join(rep, on=id_col).join(bl, on=id_col)
