@@ -174,12 +174,25 @@ def learn_bpe_merges(
         )
     wt = word_types(docs, text_col=text_col).withColumn(
         "syms", F.split("w", "")
-    )
-    head = wt.select("syms", "cnt").limit(max_driver_types + 1).collect()
-    if len(head) <= max_driver_types:
-        learned = _learn_merges_driver(head, n_merges)
-    else:
-        learned = _learn_merges_spark(wt, n_merges)
+    ).cache()
+    try:
+        # gate on a COUNT of the cached table, not a limit+collect probe:
+        # the former `limit(bound+1).collect()` shipped up to bound+1 full
+        # word-type rows to the driver precisely when the table was too
+        # big for the driver — the allocation the gate exists to prevent
+        # (r6 review fix). The cache makes the count + (collect | per-
+        # round loop) a single computation of the corpus aggregation, and
+        # the per-round Spark fallback re-reads wt every round, so it
+        # benefits from the cache directly.
+        n_types = wt.count()
+        if n_types <= max_driver_types:
+            learned = _learn_merges_driver(
+                wt.select("syms", "cnt").collect(), n_merges
+            )
+        else:
+            learned = _learn_merges_spark(wt, n_merges)
+    finally:
+        wt.unpersist()
     return spark.createDataFrame(
         learned,
         "merge_rank int, left_sym string, right_sym string, pair_count long",

@@ -198,11 +198,13 @@ def minhash_lsh_pairs(
     """Candidate pairs from LSH band buckets, scored by signature agreement
     (estimated Jaccard); classic shingle→minhash→band→bucket-join.
 
-    The signature frame is read three times downstream (banding + both
-    est-join sides); callers that want an explicit cache lifecycle should
-    use :func:`minhash_signatures` + :func:`minhash_band_pairs` directly
-    (as the benchmark does) — this convenience wrapper deliberately does
-    NOT cache, so it cannot leak cached blocks (r5 ADVICE)."""
+    Since the batch-4 rewrite the signature frame feeds a SINGLE banding
+    select (the est-joins that used to re-read it are gone), so caching
+    it buys nothing in this one-shot path; callers that reuse signatures
+    across several calls should use :func:`minhash_signatures` +
+    :func:`minhash_band_pairs` and own the cache lifecycle — this
+    convenience wrapper deliberately does NOT cache, so it cannot leak
+    cached blocks (r5 ADVICE)."""
     sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
     return minhash_band_pairs(sigs, id_col=id_col, num_perm=num_perm,
                               bands=bands, threshold=threshold)

@@ -300,8 +300,9 @@ def embedding_signatures(
     """``(_id, _table, _sig)`` — one multi-table hyperplane-LSH signature
     row per (vector, table), SLIM: no vector payload. Split out of
     :func:`embedding_neardup_pairs` so callers (e.g. the benchmark) can
-    cache it explicitly (the pair join reads it three times: bucket
-    sizing + both join sides). Keeping the 24-byte id/table/sig rows —
+    cache it explicitly when they reuse it across calls (since the r6
+    rewrites the pair path itself reads it once — through the payload
+    attach join into the bucket groupBy). Keeping the 24-byte id/table/sig rows —
     not the ``dim``-double vectors — is what makes the candidate
     self-join shuffle signature-sized instead of corpus-sized; vectors
     re-enter only for the candidate-pair rescore, keyed by id.
@@ -397,14 +398,26 @@ def bucket_pairs(
 
     def expand(x, i):
         rest = F.slice(F.col("_ms"), i + F.lit(2), n - i - F.lit(1))
-        if pair_filter is not None:
-            # filter BEFORE building the normalized pair struct: the
-            # filter must hold for the pair regardless of orientation
-            # (pair_filter is documented symmetric), and skipping the
-            # struct + least/greatest for failing pairs avoids ~12× the
-            # survivor count in per-pair allocations at bench params
-            # (16.6M raw pairs → 1.37M surviving the projection bound)
-            rest = F.filter(rest, lambda y: pair_filter(x["p"], y["p"]))
+
+        # filter BEFORE building the normalized pair struct: the
+        # filter must hold for the pair regardless of orientation
+        # (pair_filter is documented symmetric), and skipping the
+        # struct + least/greatest for failing pairs avoids ~12× the
+        # survivor count in per-pair allocations at bench params
+        # (16.6M raw pairs → 1.37M surviving the projection bound).
+        # The id-inequality guard preserves the pre-r6 self-join
+        # contract (`id_a < id_b` strict): a duplicated id in dirty
+        # input must not emit an (x, x) pair (r6 review fix).
+        def keep(y):
+            if payload_col is not None:
+                c = y["i"] != x["i"]
+                if pair_filter is not None:
+                    c = c & pair_filter(x["p"], y["p"])
+            else:
+                c = y != x
+            return c
+
+        rest = F.filter(rest, keep)
         mk = lambda y: F.struct(  # noqa: E731
             F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
         )
@@ -500,13 +513,23 @@ def embedding_neardup_pairs(
     # never a heuristic, so the output set is unchanged (recall 1.0 by
     # construction; float error is ~1e-14 against a 1e-6 safety margin).
     # Measured at 1M×dim32/θ=0.99: candidates 16.6M → 1.37M (12×), the
-    # distinct and rescore shrinking with them. Zero-norm vectors yield
-    # NaN projections and fail the bound, exactly as they fail the final
-    # NaN cosine filter. Applied when the projection frame is
-    # broadcastable (the compact gate); otherwise the plan falls
-    # back to the unfiltered expansion.
+    # distinct and rescore shrinking with them. Degenerate vectors
+    # (zero or non-finite norm) have no defined cosine and produce NO
+    # pairs on EITHER plan path: the projection is null-gated on a
+    # valid norm (null payload fails the bound filter) and the rescore
+    # division is guarded the same way — under this repo's ANSI config
+    # a bare 0/0 would RAISE, and Spark orders NaN above every double,
+    # so the unguarded forms would crash or pass the threshold rather
+    # than "fail the filter" (r6 review fix; a valid-norm guard, not a
+    # behavior the old code actually had). Applied when the projection
+    # frame is broadcastable (the compact gate); otherwise the plan
+    # falls back to the unfiltered expansion.
     m = min(4, dim)
     bound = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-6
+
+    def _valid_norm(n: Column) -> Column:
+        return (n > 0) & ~F.isnan(n)
+
     payload_col = None
     pair_filter = None
     keyed = sig
@@ -514,8 +537,12 @@ def embedding_neardup_pairs(
         v = F.col(vec_col)
         pf = df.select(
             F.col(id_col).alias("_pid"),
-            F.array(
-                *[(F.get(v, i).cast("double") / norm(v)) for i in range(m)]
+            F.when(
+                _valid_norm(norm(v)),
+                F.array(
+                    *[(F.get(v, i).cast("double") / norm(v))
+                      for i in range(m)]
+                ),
             ).alias("_pf"),
         )
         keyed = sig.join(F.broadcast(pf), on=F.col("_id") == F.col("_pid"))
@@ -556,7 +583,14 @@ def embedding_neardup_pairs(
         .join(vecs, on=F.col("id_b") == F.col("_vid"))
         .withColumn(
             "cosine_sim",
-            dot(F.col("_va"), F.col("_vv")) / (F.col("_na") * F.col("_vn")),
+            # valid-norm guard (matches the projection gate above):
+            # degenerate vectors yield null → dropped by the filter
+            # instead of an ANSI DIVIDE_BY_ZERO / NaN-passes-threshold
+            F.when(
+                _valid_norm(F.col("_na")) & _valid_norm(F.col("_vn")),
+                dot(F.col("_va"), F.col("_vv"))
+                / (F.col("_na") * F.col("_vn")),
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")

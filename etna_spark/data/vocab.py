@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType
@@ -40,11 +40,15 @@ def vocab_topk(
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    # distributed top-k (TakeOrderedAndProject), NOT an unpartitioned
+    # row_number window — the window form funnels the vocab-sized count
+    # table into ONE task for a global sort, the exact single-task
+    # bottleneck this module exists to avoid (r6 review fix; same rows,
+    # same (cnt desc, token) order, so the returned list is identical)
     return [
         r["token"]
-        for r in counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        for r in counts.orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
         .select("token")
         .collect()
     ]

@@ -30,25 +30,30 @@ def main():
         except Exception as e:  # noqa: BLE001
             rows[name] = {"err": f"{type(e).__name__}: {e}"}
             continue
-        # count operator-tree occurrences only (tree section has "+-"
-        # prefixes; the detail section lines start with "(n) ")
+        # Count operators from the DETAIL section — `(n) OperatorName`
+        # lines list every node exactly once, including the tree ROOT,
+        # which the former tree-prefix filter ("+-"/":" markers) missed
+        # (a root Sort/Exchange under-counted by one; r6 review fix).
+        import re as _re
+
+        ops = _re.findall(r"^\(\d+\) ([A-Za-z]+)", p, _re.M)
         tree = [ln for ln in p.splitlines()
                 if ("+-" in ln or ln.startswith("Execute") or
                     ln.lstrip().startswith(":"))]
-        tree_s = "\n".join(tree)
         joins = sorted({w for w in (
             "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-            "BroadcastNestedLoopJoin", "CartesianProduct") if w in tree_s})
+            "BroadcastNestedLoopJoin", "CartesianProduct") if w in ops})
         rows[name] = {
-            "exchanges": tree_s.count("Exchange"),
-            "python": tree_s.count("BatchEvalPython")
-            + tree_s.count("ArrowEvalPython"),
-            "map_pandas": tree_s.count("MapInPandas")
-            + tree_s.count("FlatMapGroupsInPandas")
-            + tree_s.count("MapInArrow")
-            + tree_s.count("FlatMapGroupsInPandasWithState"),
+            # endswith: Exchange + BroadcastExchange + ReusedExchange,
+            # matching the former substring semantics
+            "exchanges": sum(1 for o in ops if o.endswith("Exchange")),
+            "python": sum(1 for o in ops
+                          if o in ("BatchEvalPython", "ArrowEvalPython")),
+            "map_pandas": sum(1 for o in ops if o in (
+                "MapInPandas", "FlatMapGroupsInPandas", "MapInArrow",
+                "FlatMapGroupsInPandasWithState")),
             "joins": joins,
-            "sorts": tree_s.count("Sort ") + tree_s.count("Sort\n"),
+            "sorts": sum(1 for o in ops if o == "Sort"),
             "plan_lines": len(tree),
         }
     with open(out_path, "w") as f:
