@@ -293,13 +293,23 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     ``word_hash61`` family so a DuckDB oracle reproduces the exact value
     (xxhash64 is a drop-in at scale; plan shape identical).
 
-    The word-hash ARRAY is projected once (r6): interpreted HOF lambdas
-    have no common-subexpression elimination, so embedding the
-    transform inside each of the 64 bit-vote aggregates re-split and
-    re-hashed every word 64× per document (the same CSE gap as the
-    batch-1 shingle fix; measured 18.5 s → 4.6 s on the sf0.01 oracle
-    corpus). Values unchanged."""
-    base = df.select(
+    Two r6 fixes, each worth ~2× on the full pair query:
+    - the word-hash ARRAY is projected once: interpreted HOF lambdas
+      have no common-subexpression elimination, so embedding the
+      transform inside each of the 64 bit-vote aggregates re-split and
+      re-hashed every word 64× per document (the same CSE gap as the
+      batch-1 shingle fix; simhash compute 4–5 s → 0.4 s isolated);
+    - the output column is made provably NON-NULLABLE (null-text docs
+      are dropped up front — a hash of an absent document is
+      meaningless, and downstream joins discarded their null keys
+      anyway — and the hash rides through a never-firing coalesce):
+      otherwise any equi-join on the hash infers an IsNotNull
+      constraint and pushes it to the scan with the ENTIRE 64-vote
+      expression INLINED, silently re-evaluating the full hash per row
+      in a filter (seen in plans/r06/dedup_simhash_after.txt's
+      predecessor; the coalesce removes the constraint at the source).
+    Values for non-null-text documents are bit-identical."""
+    base = df.where(F.col(text_col).isNotNull()).select(
         id_col, F.transform(words(text_col),
                             lambda w: word_hash61(w)).alias("_wh"),
     )
@@ -318,7 +328,12 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         # bitwise assembly: `sim*2 + bit` ARITHMETIC_OVERFLOWs under ANSI
         # once bit 63 (the j=0 vote) is set
         sim = sim.bitwiseOR(F.shiftleft((s_j > 0).cast("long"), 63 - j))
-    return base.select(id_col, sim.alias("simhash"))
+    # coalesce never fires (text is non-null by the filter above, so the
+    # vote aggregates are non-null) — it exists to make the column's
+    # TYPE non-nullable so joins don't infer an IsNotNull constraint
+    return base.select(
+        id_col, F.coalesce(sim, F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 def simhash_pairs(

@@ -126,22 +126,25 @@ def word_hash61(w: Column) -> Column:
     unicode + list_reduce with the same constants), well-mixed low bits for
     SimHash voting, no overflow under ANSI (max < 2⁶¹).
 
-    Both polynomials fold in ONE aggregate pass over a struct
-    accumulator (r6): interpreted HOF expressions have no
-    common-subexpression elimination, so the former two-aggregate form
-    re-split the word per hash. Identical values — same constants, same
-    left-to-right fold order."""
+    Deliberately TWO aggregate passes, mirroring the oracle SQL 1:1. A
+    struct-accumulator single-fold was tried in r6 and reverted: field
+    extraction (`hs["h1"]`, `hs["h2"]`) duplicates the whole aggregate
+    subtree in the plan (no CSE across interpreted HOF expressions), so
+    it still split and folded twice — plus a struct allocation per
+    element. The per-call duplication that actually mattered was the
+    CALLER embedding this hash once per bit-vote (fixed in
+    :func:`~etna_spark.data.dedup.simhash64` by binding the word-hash
+    array as a projected column)."""
     cps = F.transform(F.split(w, ""), lambda ch: F.ascii(ch))
-    hs = F.aggregate(
-        cps,
-        F.struct(F.lit(0).cast("long").alias("h1"),
-                 F.lit(0).cast("long").alias("h2")),
-        lambda acc, x: F.struct(
-            F.pmod(acc["h1"] * 131 + x, F.lit(1000000007)).alias("h1"),
-            F.pmod(acc["h2"] * 137 + x, F.lit(998244353)).alias("h2"),
-        ),
+    h1 = F.aggregate(
+        cps, F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 131 + x, F.lit(1000000007)),
     )
-    return hs["h1"] * F.lit(2147483648) + hs["h2"]
+    h2 = F.aggregate(
+        cps, F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 137 + x, F.lit(998244353)),
+    )
+    return h1 * F.lit(2147483648) + h2
 
 
 def fingerprint(text: str | Column) -> Column:
